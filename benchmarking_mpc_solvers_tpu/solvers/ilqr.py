@@ -1,0 +1,273 @@
+"""iLQR / DDP with Levenberg–Marquardt trust region and line search.
+
+Behavioral parity target: ``MPCBenchmark/agents/ilqr.py:10-350``, redesigned
+TPU-first:
+
+- exact derivatives via ``jax.grad`` / ``jax.hessian`` / ``jax.jacfwd``
+  vmapped over the horizon — one fused XLA call replacing the reference's
+  numdifftools workers fed through module-level multiprocessing queues
+  (``ilqr.py:10-45,100-106,240-253``).
+- backward Riccati recursion as a reversed ``lax.scan``; non-PD Q_uu is
+  detected via NaNs from ``cholesky`` (the reference catches exceptions and
+  reports a failed pass, ``ilqr.py:319-323``), triggering the same μ
+  escalation (μ∈[1e-6,1024], δ0=2 — ``ilqr.py:92-96,136-140,208-210``).
+- line search over the reference's α schedule 1.1^(−i²), i=0..9
+  (``ilqr.py:97``) with all 10 forward passes evaluated in parallel via
+  ``vmap`` and the sequential accept logic replayed over the precomputed
+  costs.
+- the outer iteration loop is a ``lax.while_loop`` (vmappable: batched
+  instances run lock-step with masking).
+
+Deliberate correctness deltas from the reference (documented, flag-gated
+where behavioral):
+- full cost Hessian blocks instead of the reference's diagonal-only
+  l_xx/l_uu vectors and elementwise Q_uu inverse (``ilqr.py:24-27,324-325``
+  — only valid for scalar actions); our recursion is the standard matrix
+  form, exact for the scalar-action case too.
+- forward-pass stage costs use the goal trajectory g_z; the reference's
+  forward pass dropped the goal (``ilqr.py:349`` calls predict without
+  goal), identical in all shipped experiments since goals are zero.
+- ``reference_accept=True`` (default) reproduces the reference's line-search
+  quirk in which any accepted improvement immediately satisfies the relative
+  convergence test (cost is updated *before* the check, ``ilqr.py:190-206``),
+  so each solve call performs at most one accepted step. ``False`` gives a
+  standard best-alpha multi-iteration iLQR.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.rollout import simulate_trajectory
+from .base import Solver
+
+
+class ILQRState(NamedTuple):
+    planned_us: jnp.ndarray  # (T, A)
+    key: jnp.ndarray
+
+
+class _Derivs(NamedTuple):
+    l_x: jnp.ndarray  # (T+1, S)   (terminal row appended)
+    l_u: jnp.ndarray  # (T, A)
+    l_xx: jnp.ndarray  # (T+1, S, S)
+    l_uu: jnp.ndarray  # (T, A, A)
+    l_ux: jnp.ndarray  # (T, A, S)
+    f_x: jnp.ndarray  # (T, S, S)
+    f_u: jnp.ndarray  # (T, S, A)
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class ILQR(Solver):
+    max_iter: int = 10
+    threshold: float = 1e-3
+    closed_loop: bool = False  # kept for config parity (unused, as in reference)
+    mu_min: float = 1e-6
+    mu_max: float = 1024.0
+    delta_zero: float = 2.0
+    n_alphas: int = 10
+    reference_accept: bool = True
+
+    # -- state ----------------------------------------------------------------
+    def init_state(self, key) -> ILQRState:
+        k_init, key = jax.random.split(key)
+        # reference init: planned_us ~ N(0, bounds_high) (ilqr.py:90-91)
+        us = jnp.asarray(self.model.hi) * jax.random.normal(
+            k_init, (self.T, self.model.action_size), dtype=jnp.float32
+        )
+        return ILQRState(us, key)
+
+    @property
+    def alphas(self):
+        return 1.1 ** (-jnp.arange(self.n_alphas, dtype=jnp.float32) ** 2)
+
+    # -- derivative stage ------------------------------------------------------
+    def derivatives(self, xs, us, g_z) -> _Derivs:
+        model = self.model
+        S = model.state_size
+
+        def stage(x, u, gz):
+            def c(xu):
+                return model.cost(xu[:S], xu[S:], gz)
+
+            def f(xu):
+                return model.dynamics(xu[:S], xu[S:])
+
+            xu = jnp.concatenate([x, u])
+            grad = jax.grad(c)(xu)
+            hess = jax.hessian(c)(xu)
+            jac_f = jax.jacfwd(f)(xu)
+            return (
+                grad[:S],
+                grad[S:],
+                hess[:S, :S],
+                hess[S:, S:],
+                hess[S:, :S],
+                jac_f[:, :S],
+                jac_f[:, S:],
+            )
+
+        l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = jax.vmap(stage)(xs[:-1], us, g_z)
+
+        def ct(x):
+            return model.final_cost(x, g_z[-1])
+
+        lx_T = jax.grad(ct)(xs[-1])
+        lxx_T = jax.hessian(ct)(xs[-1])
+        return _Derivs(
+            jnp.concatenate([l_x, lx_T[None]], axis=0),
+            l_u,
+            jnp.concatenate([l_xx, lxx_T[None]], axis=0),
+            l_uu,
+            l_ux,
+            f_x,
+            f_u,
+        )
+
+    # -- backward pass ---------------------------------------------------------
+    def backward_pass(self, d: _Derivs, mu):
+        S = self.model.state_size
+        eye_s = jnp.eye(S, dtype=jnp.float32)
+
+        def step(carry, inp):
+            V_x, V_xx = carry
+            l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = inp
+            V_reg = V_xx + mu * eye_s
+            Q_x = l_x + f_x.T @ V_x
+            Q_u = l_u + f_u.T @ V_x
+            Q_xx = l_xx + f_x.T @ V_xx @ f_x
+            Q_uu = l_uu + f_u.T @ V_reg @ f_u
+            Q_ux = l_ux + f_u.T @ V_reg @ f_x
+            chol = jnp.linalg.cholesky(Q_uu)
+            ok = jnp.all(jnp.isfinite(chol))
+            chol_safe = jnp.where(jnp.isfinite(chol), chol, jnp.eye(Q_uu.shape[0]))
+            kK = jax.scipy.linalg.cho_solve(
+                (chol_safe, True), jnp.concatenate([Q_u[:, None], Q_ux], axis=1)
+            )
+            k = -kK[:, 0]
+            K = -kK[:, 1:]
+            V_x = Q_x + K.T @ Q_uu @ k + K.T @ Q_u + Q_ux.T @ k
+            V_xx = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
+            V_xx = 0.5 * (V_xx + V_xx.T)
+            return (V_x, V_xx), (k, K, ok)
+
+        init = (d.l_x[-1], d.l_xx[-1])
+        per_t = (d.l_x[:-1], d.l_u, d.l_xx[:-1], d.l_uu, d.l_ux, d.f_x, d.f_u)
+        _, (ks, Ks, oks) = lax.scan(step, init, per_t, reverse=True)
+        return ks, Ks, jnp.all(oks)
+
+    # -- forward pass ----------------------------------------------------------
+    def forward_pass(self, alpha, ks, Ks, xs, us, g_z):
+        model = self.model
+
+        def step(carry, inp):
+            x_hat, cost = carry
+            u, k, K, x_ref, gz = inp
+            u_hat = u + alpha * k + K @ (x_hat - x_ref)
+            u_hat = jnp.clip(u_hat, model.lo, model.hi)
+            x_next, c = model.step_and_cost(x_hat, u_hat, gz)
+            return (x_next, cost + c), (x_hat, u_hat)
+
+        (x_last, cost), (xs_hat, us_hat) = lax.scan(
+            step, (xs[0], jnp.zeros((), jnp.float32)), (us, ks, Ks, xs[:-1], g_z)
+        )
+        xs_hat = jnp.concatenate([xs_hat[1:], x_last[None]], axis=0)
+        xs_hat = jnp.concatenate([xs[:1], xs_hat], axis=0)
+        return xs_hat, us_hat, cost
+
+    # -- outer loop ------------------------------------------------------------
+    def solve(self, state: ILQRState, x, g_z):
+        # The Riccati recursion multiplies many small, ill-conditioned
+        # matrices; TPU bf16-default matmuls lose the <1e-3 parity gate, so
+        # force f32 accumulation for everything traced in the solve.
+        with jax.default_matmul_precision("highest"):
+            return self._solve(state, x, g_z)
+
+    def _solve(self, state: ILQRState, x, g_z):
+        model = self.model
+        alphas = self.alphas
+
+        def mu_increase(mu, delta):
+            delta = jnp.maximum(self.delta_zero, delta * self.delta_zero)
+            mu = jnp.maximum(self.mu_min, mu * delta)
+            return mu, delta
+
+        def mu_decrease(mu, delta):
+            delta = jnp.minimum(1.0 / self.delta_zero, delta / self.delta_zero)
+            mu = jnp.where(mu * delta < self.mu_min, 0.0, mu * delta)
+            return mu, delta
+
+        def cond(carry):
+            i, _us, _mu, _delta, converged = carry
+            return jnp.logical_and(i < self.max_iter, ~converged)
+
+        def body(carry):
+            i, us, mu, delta, _ = carry
+            mu = jnp.clip(mu, self.mu_min, self.mu_max)
+            xs, cost = simulate_trajectory(model, x, us, g_z)
+            d = self.derivatives(xs, us, g_z)
+            ks, Ks, bp_ok = self.backward_pass(d, mu)
+
+            us_c = jnp.clip(us, model.lo, model.hi)
+            fwd = jax.vmap(lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z))
+            new_xss, new_uss, new_costs = fwd(alphas)
+
+            if self.reference_accept:
+                # Sequential accept replay (ilqr.py:149-206): stop at the first
+                # alpha that improves (accept; the post-update relative test
+                # then trivially passes) or whose cost is within threshold.
+                def ls_step(carry, j):
+                    best_us, cur_cost, accepted, stop, mu, delta = carry
+                    new_cost = new_costs[j]
+                    improves = jnp.logical_and(~stop, new_cost < cur_cost)
+                    mu_d, delta_d = mu_decrease(mu, delta)
+                    mu = jnp.where(improves, mu_d, mu)
+                    delta = jnp.where(improves, delta_d, delta)
+                    best_us = jnp.where(improves, new_uss[j], best_us)
+                    cur_cost = jnp.where(improves, new_cost, cur_cost)
+                    rel = jnp.abs((cur_cost - new_cost) / cur_cost)
+                    stop_now = jnp.logical_and(~stop, rel < self.threshold)
+                    accepted = jnp.logical_or(accepted, improves)
+                    stop = jnp.logical_or(stop, stop_now)
+                    return (best_us, cur_cost, accepted, stop, mu, delta), None
+
+                (us_new, _c, accepted, converged, mu, delta), _ = lax.scan(
+                    ls_step,
+                    (us_c, cost, jnp.bool_(False), jnp.bool_(False), mu, delta),
+                    jnp.arange(self.n_alphas),
+                )
+            else:
+                best_j = jnp.argmin(new_costs)
+                best_cost = new_costs[best_j]
+                accepted = best_cost < cost
+                us_new = jnp.where(accepted, new_uss[best_j], us_c)
+                rel = jnp.abs((cost - best_cost) / cost)
+                converged = jnp.logical_and(accepted, rel < self.threshold)
+                mu_d, delta_d = mu_decrease(mu, delta)
+                mu = jnp.where(accepted, mu_d, mu)
+                delta = jnp.where(accepted, delta_d, delta)
+
+            # backward-pass failure or no accepted step → escalate trust region
+            escalate = jnp.logical_or(~bp_ok, ~accepted)
+            mu_i, delta_i = mu_increase(mu, delta)
+            mu = jnp.where(escalate, mu_i, mu)
+            delta = jnp.where(escalate, delta_i, delta)
+            us_new = jnp.where(bp_ok, us_new, us)
+            converged = jnp.where(bp_ok, converged, False)
+            return (i + 1, us_new, mu, delta, converged)
+
+        init = (
+            jnp.int32(0),
+            state.planned_us,
+            jnp.float32(1.0),
+            jnp.float32(self.delta_zero),
+            jnp.bool_(False),
+        )
+        _, us, _, _, _ = lax.while_loop(cond, body, init)
+        new_state = ILQRState(us, state.key)
+        return new_state, us[0], {}

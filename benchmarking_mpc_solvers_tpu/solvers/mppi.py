@@ -1,0 +1,82 @@
+"""MPPI — Model-Predictive Path Integral control.
+
+Behavioral parity target: ``MPCBenchmark/agents/mppi.py:7-75``. The
+reference evaluates K perturbed rollouts in a ``multiprocessing.Pool``
+(``mppi.py:24,55-57``); here the K samples are a ``vmap`` axis fused with the
+horizon ``lax.scan`` into one XLA program (or the Pallas fused kernel in
+``ops/``), so one chip evaluates K×B rollouts in a single launch.
+
+Semantics:
+- per-sample cost = Σ_t stage_cost(x_t, u_t) + λ uₜᵀ Σ⁻¹ δuₜ with
+  u = planned + δ and Σ = diag(std²)  (``mppi.py:36-48``; pinv(std²) = 1/std²
+  for the reference's scalar std).
+- softmax weights with baseline β = min cost: w ∝ exp(−(c−β)/λ)
+  (``mppi.py:59-62``).
+- update planned_us += Σ_k w_k δu_k. The reference's accumulation
+  (``mppi.py:64-69``) sums over *all* axes of w·δuᵀ[:,t] which is only
+  correct for action_size == 1; we implement the correct einsum (identical
+  for the 1-D actions all reference systems have).
+- quirk flag: the reference samples δu once in ``__init__`` and reuses it
+  every step (``mppi.py:20-21``). ``resample=True`` (our default) redraws per
+  step; ``resample=False`` reproduces the reference behavior.
+- actions in the rollout are NOT clipped (clipping is commented out at
+  ``mppi.py:42``) — the physical models clip internally where the reference
+  ones do.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rollout import rollout_cost_samples
+from .base import Solver
+
+
+class MPPIState(NamedTuple):
+    planned_us: jnp.ndarray  # (T, A)
+    delta_u: jnp.ndarray  # (K, T, A) fixed perturbations (compat mode)
+    key: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class MPPI(Solver):
+    K: int = 100
+    std: float = 1.0
+    lam: float = 1.0
+    resample: bool = True  # False = reference's sample-once quirk
+
+    def init_state(self, key) -> MPPIState:
+        k_delta, key = jax.random.split(key)
+        A = self.model.action_size
+        planned = jnp.zeros((self.T, A), dtype=jnp.float32)
+        delta = self.std * jax.random.normal(
+            k_delta, (self.K, self.T, A), dtype=jnp.float32
+        )
+        return MPPIState(planned, delta, key)
+
+    def solve(self, state: MPPIState, x, g_z):
+        model = self.model
+        if self.resample:
+            k_delta, key = jax.random.split(state.key)
+            delta_u = self.std * jax.random.normal(
+                k_delta, (self.K, self.T, model.action_size), dtype=jnp.float32
+            )
+        else:
+            delta_u, key = state.delta_u, state.key
+
+        samples = state.planned_us[None] + delta_u  # (K, T, A)
+        roll_costs, _ = rollout_cost_samples(model, x, samples, g_z)
+        # control penalty λ Σ_t uₜᵀ Σ⁻¹ δuₜ, Σ = diag(std²)
+        ctrl = self.lam * jnp.einsum("kta,kta->k", samples, delta_u) / (self.std**2)
+        costs = roll_costs + ctrl
+
+        beta = jnp.min(costs)
+        w = jax.nn.softmax(-(costs - beta) / self.lam)
+        planned = state.planned_us + jnp.einsum("k,kta->ta", w, delta_u)
+
+        new_state = MPPIState(planned, state.delta_u, key)
+        return new_state, planned[0], {"sample_costs": costs}
