@@ -66,6 +66,33 @@ rollout_batch = jax.vmap(rollout, in_axes=(None, 0, 0, None))
 rollout_cost_samples = jax.vmap(rollout_cost, in_axes=(None, None, 0, None))
 
 
+def rollout_cost_noisy(model: Model, x0, us, g_z, xnoise):
+    """Rollout with additive per-step state noise.
+
+    Reproduces the reference's planning-model sensor noise
+    (``models/model.py:42-43``: each ``predict`` adds N(0, std) to the next
+    state), used by the ``model_noise`` robustness sweeps
+    (``scripts/noise_tests.py:44``). ``xnoise`` is (T, S) pre-sampled noise.
+    """
+
+    def step(carry, inp):
+        x, acc = carry
+        u, gz, nz = inp
+        x_next, c = model.step_and_cost(x, u, gz)
+        return (x_next + nz, acc + c), None
+
+    (x_last, total), _ = lax.scan(
+        step, (x0, jnp.zeros((), x0.dtype)), (us, g_z, xnoise)
+    )
+    return total, x_last
+
+
+# (K,T,A) samples with per-sample noise (K,T,S)
+rollout_cost_noisy_samples = jax.vmap(
+    rollout_cost_noisy, in_axes=(None, None, 0, None, 0)
+)
+
+
 def simulate_trajectory(model: Model, x0, us, g_z):
     """(xs, total_cost) — the reference ``Agent.simulate_trajectory`` contract
     (``agents/agent.py:97-108``: returns states and −Σreward)."""

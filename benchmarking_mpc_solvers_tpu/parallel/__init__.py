@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    BATCH_AXIS,
+    SAMPLE_AXIS,
+    make_mesh,
+    shard_batch,
+    sharded_episodes,
+)
+from .mppi_sharded import make_sharded_mppi_step  # noqa: F401

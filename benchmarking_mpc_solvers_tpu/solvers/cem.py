@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.rollout import rollout_cost_samples
+from ..ops.rollout import rollout_cost_noisy_samples, rollout_cost_samples
 from .base import Solver
 
 
@@ -43,6 +43,7 @@ class CEM(Solver):
     epsilon: float = 1e-2
     alpha: float = 0.2
     std: float = 1.0
+    model_noise_std: float = 0.0  # planning-model noise (noise_tests.py sweeps)
 
     def init_state(self, key) -> CEMState:
         planned = jnp.zeros((self.T, self.model.action_size), dtype=jnp.float32)
@@ -62,7 +63,14 @@ class CEM(Solver):
             k_sample, key = jax.random.split(key)
             noise = jax.random.normal(k_sample, (self.K, T, A), dtype=jnp.float32)
             samples = jnp.clip(mean[None] + std[None] * noise, model.lo, model.hi)
-            costs, _ = rollout_cost_samples(model, x, samples, g_z)
+            if self.model_noise_std > 0.0:
+                k_mnoise, key = jax.random.split(key)
+                xnoise = self.model_noise_std * jax.random.normal(
+                    k_mnoise, (self.K, T, model.state_size), dtype=jnp.float32
+                )
+                costs, _ = rollout_cost_noisy_samples(model, x, samples, g_z, xnoise)
+            else:
+                costs, _ = rollout_cost_samples(model, x, samples, g_z)
             rewards = -costs
             _, elite_idx = lax.top_k(rewards, self.n_elite)
             elites = samples[elite_idx]  # (n_elite, T, A)

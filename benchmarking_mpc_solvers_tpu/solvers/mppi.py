@@ -32,7 +32,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.rollout import rollout_cost_samples
+from ..ops.rollout import rollout_cost_noisy_samples, rollout_cost_samples
 from .base import Solver
 
 
@@ -48,6 +48,7 @@ class MPPI(Solver):
     std: float = 1.0
     lam: float = 1.0
     resample: bool = True  # False = reference's sample-once quirk
+    model_noise_std: float = 0.0  # planning-model noise (noise_tests.py sweeps)
 
     def init_state(self, key) -> MPPIState:
         k_delta, key = jax.random.split(key)
@@ -69,7 +70,14 @@ class MPPI(Solver):
             delta_u, key = state.delta_u, state.key
 
         samples = state.planned_us[None] + delta_u  # (K, T, A)
-        roll_costs, _ = rollout_cost_samples(model, x, samples, g_z)
+        if self.model_noise_std > 0.0:
+            k_noise, key = jax.random.split(key)
+            xnoise = self.model_noise_std * jax.random.normal(
+                k_noise, (self.K, self.T, model.state_size), dtype=jnp.float32
+            )
+            roll_costs, _ = rollout_cost_noisy_samples(model, x, samples, g_z, xnoise)
+        else:
+            roll_costs, _ = rollout_cost_samples(model, x, samples, g_z)
         # control penalty λ Σ_t uₜᵀ Σ⁻¹ δuₜ, Σ = diag(std²)
         ctrl = self.lam * jnp.einsum("kta,kta->k", samples, delta_u) / (self.std**2)
         costs = roll_costs + ctrl
