@@ -1,0 +1,122 @@
+"""QP-based linear MPC: condensed box-QP solved by ADMM or interior point.
+
+New solver family owed by BASELINE.json configs 1-2 (the reference ships
+only sampling + iLQR solvers). Each ``solve`` call:
+
+1. linearizes the model dynamics around an operating point (the goal state
+   by default — classic linear MPC — or the current state for LTV behavior),
+2. condenses the horizon into a dense (T·A)² box QP (``ops/qp.py``),
+3. solves it with OSQP-style ADMM (default) or a log-barrier interior-point
+   method, both fully jittable with static iteration bounds,
+4. returns the first control; the full plan seeds the next call's warm
+   start through the agent-layer receding-horizon shift.
+
+The tracking weights (Q, R, Qf) default to the state/action blocks of the
+model's quadratic feature cost evaluated at the linearization point, so the
+QP objective is the Gauss-Newton model of the true benchmark cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.linearize import AffineDynamics
+from ..ops.qp import admm_solve, admm_solve_riccati, condense, ip_solve
+from .base import Solver
+
+
+class QPMPCState(NamedTuple):
+    planned_us: jnp.ndarray  # (T, A)
+    key: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class QPMPC(Solver):
+    # "riccati_admm" (default: stable for unstable plants / long horizons),
+    # "admm" (condensed dense — fine for stable systems / short horizons),
+    # "ip" (condensed log-barrier interior point)
+    method: str = "riccati_admm"
+    iters: int = 100
+    rho: float = 1.0
+    eps: float = 1e-6
+    linearize_at: str = "goal"  # "goal" | "state"
+    # optional explicit tracking weights; default derives them from the model
+    Q: Optional[tuple] = None
+    R: Optional[tuple] = None
+    Qf: Optional[tuple] = None
+    goal_x: Optional[tuple] = None  # linearization/tracking state target
+
+    def _weights(self):
+        """Gauss-Newton (Q, R, Qf) from the model's feature-space quadratic,
+        evaluated at the goal point."""
+        model = self.model
+        S = model.state_size
+        x_op = self._goal_state()
+        u_op = jnp.zeros((model.action_size,), jnp.float32)
+        xu = jnp.concatenate([x_op, u_op])
+
+        def z_fn(v):
+            return model.transform(v[:S], v[S:])
+
+        J = jax.jacfwd(z_fn)(xu)
+        gz = jnp.zeros((model.goal_size,), jnp.float32)
+        W = jax.hessian(lambda z: model.state_cost(z, gz))(z_fn(xu)) / 2.0
+        Hgn = J.T @ W @ J  # cost ≈ (xu)ᵀ Hgn (xu) around the operating point
+        Q = Hgn[:S, :S] if self.Q is None else jnp.asarray(self.Q, jnp.float32)
+        R = Hgn[S:, S:] if self.R is None else jnp.asarray(self.R, jnp.float32)
+        R = R + 1e-6 * jnp.eye(model.action_size, dtype=jnp.float32)
+        Qf = Q if self.Qf is None else jnp.asarray(self.Qf, jnp.float32)
+        return Q, R, Qf
+
+    def _goal_state(self):
+        if self.goal_x is not None:
+            return jnp.asarray(self.goal_x, jnp.float32)
+        return jnp.zeros((self.model.state_size,), jnp.float32)
+
+    def init_state(self, key) -> QPMPCState:
+        return QPMPCState(
+            jnp.zeros((self.T, self.model.action_size), jnp.float32), key
+        )
+
+    def _linearize(self, x):
+        model = self.model
+        x_op = self._goal_state() if self.linearize_at == "goal" else x
+        u_op = jnp.zeros((model.action_size,), jnp.float32)
+        A = jax.jacfwd(model.dynamics, argnums=0)(x_op, u_op)
+        B = jax.jacfwd(model.dynamics, argnums=1)(x_op, u_op)
+        c = model.dynamics(x_op, u_op) - A @ x_op - B @ u_op
+        T = self.T
+        return AffineDynamics(
+            jnp.broadcast_to(A, (T, *A.shape)),
+            jnp.broadcast_to(B, (T, *B.shape)),
+            jnp.broadcast_to(c, (T, *c.shape)),
+        )
+
+    def solve(self, state: QPMPCState, x, g_z):
+        model = self.model
+        with jax.default_matmul_precision("highest"):
+            dyn = self._linearize(x)
+            Q, R, Qf = self._weights()
+            xref = self._goal_state()
+            uref = jnp.zeros((model.action_size,), jnp.float32)
+            if self.method == "riccati_admm":
+                us, _, _, _ = admm_solve_riccati(
+                    dyn, x, Q, R, Qf, xref, uref, model.lo, model.hi,
+                    rho=self.rho, iters=self.iters, eps=self.eps,
+                )
+                planned = us
+            else:
+                qp = condense(
+                    dyn, x, Q, R, Qf,
+                    xref=xref, uref=uref, u_lo=model.lo, u_hi=model.hi,
+                )
+                if self.method == "ip":
+                    U = ip_solve(qp, iters=self.iters)
+                else:
+                    U = admm_solve(qp, rho=self.rho, iters=self.iters, eps=self.eps).U
+                planned = U.reshape(self.T, model.action_size)
+        return QPMPCState(planned, state.key), planned[0], {}

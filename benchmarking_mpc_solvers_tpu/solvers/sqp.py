@@ -1,0 +1,127 @@
+"""SQP nonlinear MPC: repeated linearize → Riccati QP → line search.
+
+New solver family owed by BASELINE.json config 4 ("Acrobot nonlinear MPC
+(SQP: repeated linearize + Riccati QP)"). Each SQP iteration:
+
+1. rolls out the current plan and linearizes dynamics / Gauss-Newton
+   quadratizes the cost around it (``ops/linearize.py``, one fused vmap),
+2. solves the resulting time-varying LQR subproblem in deviation
+   coordinates with the Riccati recursion (``ops/riccati.py``) plus a
+   Levenberg-style regularization on the value curvature,
+3. line-searches the feedback step (all candidate step sizes rolled out in
+   parallel via vmap), clipping controls to the box bounds,
+4. accepts the best improving candidate; regularization adapts up on
+   rejection, down on acceptance.
+
+Fixed iteration counts keep everything jittable; batched instances (vmap)
+run lock-step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linearize import linearize_dynamics, quadratize_cost
+from ..ops.riccati import tvlqr_backward
+from ..ops.rollout import rollout, simulate_trajectory
+from .base import Solver
+
+
+class SQPState(NamedTuple):
+    planned_us: jnp.ndarray  # (T, A)
+    key: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class SQP(Solver):
+    max_iter: int = 10
+    reg_init: float = 1e-2
+    reg_min: float = 1e-8
+    reg_max: float = 1e4
+    reg_factor: float = 10.0
+    n_alphas: int = 8
+    tol: float = 1e-6
+
+    def init_state(self, key) -> SQPState:
+        return SQPState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
+
+    @property
+    def alphas(self):
+        return 0.5 ** jnp.arange(self.n_alphas, dtype=jnp.float32)
+
+    def _subproblem(self, xs, us, g_z, reg):
+        """Gauss-Newton TV-LQR step in deviation coordinates; returns the
+        affine deviation policy δu = K δx + k."""
+        dyn = linearize_dynamics(self.model, xs[:-1], us)
+        cost = quadratize_cost(self.model, xs, us, g_z, gauss_newton=True)
+        # deviation dynamics are homogeneous (residual c = 0 at the rollout)
+        dyn = dyn._replace(c=jnp.zeros_like(dyn.c))
+        cost = cost._replace(
+            R=cost.R + reg * jnp.eye(self.model.action_size, dtype=jnp.float32)[None]
+        )
+        return tvlqr_backward(dyn, cost, reg=0.0)
+
+    def _try_step(self, alpha, policy, xs, us, g_z):
+        """Closed-loop forward application of the deviation policy."""
+        model = self.model
+
+        def step(carry, inp):
+            x, cost = carry
+            u, K, k, x_ref, gz = inp
+            u_new = u + alpha * k + K @ (x - x_ref)
+            u_new = jnp.clip(u_new, model.lo, model.hi)
+            x_next, c = model.step_and_cost(x, u_new, gz)
+            return (x_next, cost + c), u_new
+
+        (x_last, cost), us_new = lax.scan(
+            step,
+            (xs[0], jnp.zeros((), jnp.float32)),
+            (us, policy.K, policy.k, xs[:-1], g_z),
+        )
+        # terminal cost keeps the line-search objective consistent with the
+        # quadratized subproblem (unlike the reference iLQR, whose forward
+        # pass drops it — ilqr.py:340-350)
+        return us_new, cost + model.final_cost(x_last, g_z[-1])
+
+    def solve(self, state: SQPState, x, g_z):
+        with jax.default_matmul_precision("highest"):
+            return self._solve(state, x, g_z)
+
+    def _solve(self, state: SQPState, x, g_z):
+        model = self.model
+        alphas = self.alphas
+
+        def body(carry, _):
+            us, reg, done = carry
+            xs, cost = simulate_trajectory(model, x, us, g_z)
+            cost = cost + model.final_cost(xs[-1], g_z[-1])
+            policy = self._subproblem(xs, us, g_z, reg)
+            cand_us, cand_costs = jax.vmap(
+                lambda a: self._try_step(a, policy, xs, us, g_z)
+            )(alphas)
+            best = jnp.argmin(cand_costs)
+            best_cost = cand_costs[best]
+            improved = best_cost < cost - self.tol * jnp.abs(cost)
+            accept = jnp.logical_and(improved, ~done)
+            us = jnp.where(accept, cand_us[best], us)
+            reg = jnp.where(
+                accept,
+                jnp.maximum(reg / self.reg_factor, self.reg_min),
+                jnp.minimum(reg * self.reg_factor, self.reg_max),
+            )
+            done = jnp.logical_or(done, ~improved)
+            return (us, reg, done), None
+
+        (us, _, _), _ = lax.scan(
+            body,
+            (state.planned_us, jnp.float32(self.reg_init), jnp.bool_(False)),
+            None,
+            length=self.max_iter,
+        )
+        us = jnp.clip(us, model.lo, model.hi)
+        return SQPState(us, state.key), us[0], {}

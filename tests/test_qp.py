@@ -1,0 +1,276 @@
+"""QP stack tests: condensing, ADMM, interior-point, Riccati (sequential and
+parallel-in-horizon), SQP — validated against closed forms and each other."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from benchmarking_mpc_solvers_tpu.models import (
+    CartPoleSwingUpModel,
+    PendulumModel,
+    make_linear_model,
+)
+from benchmarking_mpc_solvers_tpu.ops import (
+    AffineDynamics,
+    QuadCost,
+    admm_solve,
+    condense,
+    ip_solve,
+    kkt_residual,
+    linearize_dynamics,
+    qp_objective,
+    quadratize_cost,
+    simulate_trajectory,
+    tvlqr_backward,
+    tvlqr_backward_assoc,
+    tvlqr_rollout,
+)
+from benchmarking_mpc_solvers_tpu.solvers import QPMPC, SQP
+
+
+def double_integrator(T=20, dt=0.1):
+    A = jnp.array([[1.0, dt], [0.0, 1.0]], jnp.float32)
+    B = jnp.array([[0.0], [dt]], jnp.float32)
+    c = jnp.zeros(2, jnp.float32)
+    dyn = AffineDynamics(
+        jnp.broadcast_to(A, (T, 2, 2)),
+        jnp.broadcast_to(B, (T, 2, 1)),
+        jnp.broadcast_to(c, (T, 2)),
+    )
+    Q = jnp.diag(jnp.array([1.0, 0.1], jnp.float32))
+    R = jnp.array([[0.1]], jnp.float32)
+    Qf = jnp.diag(jnp.array([10.0, 1.0], jnp.float32))
+    return dyn, Q, R, Qf
+
+
+def test_condense_reconstructs_states():
+    T = 8
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([1.0, -0.5], jnp.float32)
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0)
+    rng = np.random.default_rng(0)
+    U = jnp.float32(rng.uniform(-1, 1, T))
+    # X = Su U + Xfree must equal explicit forward simulation
+    X = jnp.einsum("tsi,i->ts", qp.Su, U) + qp.Xfree
+    x = x0
+    for t in range(T):
+        x = dyn.A[t] @ x + dyn.B[t] @ U[t : t + 1] + dyn.c[t]
+        np.testing.assert_allclose(np.asarray(X[t]), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_condensed_objective_matches_simulation():
+    T = 6
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([0.7, 0.2], jnp.float32)
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0)
+    rng = np.random.default_rng(1)
+    U = jnp.float32(rng.uniform(-1, 1, T))
+    X = jnp.einsum("tsi,i->ts", qp.Su, U) + qp.Xfree
+    direct = (
+        sum(float(X[t] @ Q @ X[t]) for t in range(T - 1))
+        + float(X[-1] @ Qf @ X[-1])
+        + float(U @ (0.1 * U))
+    )
+    # ½UᵀHU + gᵀU + const, const = Xfreeᵀ Q̄ Xfree (x0 stage cost excluded both sides)
+    const = sum(float(qp.Xfree[t] @ Q @ qp.Xfree[t]) for t in range(T - 1)) + float(
+        qp.Xfree[-1] @ Qf @ qp.Xfree[-1]
+    )
+    via_qp = float(qp_objective(qp, U)) + const
+    np.testing.assert_allclose(via_qp, direct, rtol=1e-4)
+
+
+def test_admm_matches_unconstrained_solution_inside_box():
+    T = 10
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([0.1, 0.0], jnp.float32)  # small x0 -> solution inside box
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -5.0, 5.0)
+    res = admm_solve(qp, iters=500, eps=1e-8)
+    U_free = jnp.linalg.solve(qp.H, -qp.g)
+    np.testing.assert_allclose(np.asarray(res.U), np.asarray(U_free), rtol=1e-3, atol=1e-5)
+    assert float(kkt_residual(qp, res.U)) < 1e-4
+
+
+def test_admm_respects_active_box_and_kkt():
+    T = 10
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([3.0, 1.0], jnp.float32)  # large x0 -> saturating controls
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0)
+    res = admm_solve(qp, iters=1000, eps=1e-9)
+    U = np.asarray(res.U)
+    assert U.min() >= -1.0 - 1e-6 and U.max() <= 1.0 + 1e-6
+    assert U.min() <= -1.0 + 1e-3  # the lower bound actually activates
+    assert float(kkt_residual(qp, res.U)) < 1e-3
+
+
+def test_ip_agrees_with_admm():
+    T = 10
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([2.0, -1.0], jnp.float32)
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0)
+    U_admm = admm_solve(qp, iters=1000, eps=1e-9).U
+    U_ip = ip_solve(qp, iters=60, kappa=0.5)
+    # near the optimum the objective is flat in U; require matching
+    # objectives, feasibility and small KKT residual rather than identical U
+    f_admm = float(qp_objective(qp, U_admm))
+    f_ip = float(qp_objective(qp, U_ip))
+    assert abs(f_ip - f_admm) <= 1e-3 * abs(f_admm) + 1e-6, (f_ip, f_admm)
+    assert float(U_ip.min()) >= -1.0 - 1e-6 and float(U_ip.max()) <= 1.0 + 1e-6
+    assert float(kkt_residual(qp, U_ip)) < 5e-2
+    np.testing.assert_allclose(np.asarray(U_ip), np.asarray(U_admm), atol=5e-2)
+
+
+def test_tvlqr_matches_qp_unconstrained():
+    """Riccati solution == condensed-QP analytic solution (both ½-convention)."""
+    T = 12
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([1.0, 0.5], jnp.float32)
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -99.0, 99.0)
+    U_qp = jnp.linalg.solve(qp.H, -qp.g)
+
+    cost = QuadCost(
+        Q=jnp.broadcast_to(2 * Q, (T, 2, 2)),
+        R=jnp.broadcast_to(2 * R, (T, 1, 1)),
+        M=jnp.zeros((T, 1, 2), jnp.float32),
+        q=jnp.zeros((T, 2), jnp.float32),
+        r=jnp.zeros((T, 1), jnp.float32),
+        Qf=2 * Qf,
+        qf=jnp.zeros(2, jnp.float32),
+    )
+    # Riccati stage cost hits x_0..x_{T-1}; QP stage cost hits x_1..x_{T-1}.
+    # x_0 is fixed so both describe the same optimization over U.
+    policy = tvlqr_backward(dyn, cost)
+    xs, us = tvlqr_rollout(dyn, policy, x0)
+    np.testing.assert_allclose(np.asarray(us[:, 0]), np.asarray(U_qp), rtol=1e-3, atol=1e-4)
+
+
+def test_assoc_riccati_matches_sequential():
+    T = 16
+    dyn, Q, R, Qf = double_integrator(T)
+    rng = np.random.default_rng(3)
+    cost = QuadCost(
+        Q=jnp.broadcast_to(2 * Q, (T, 2, 2)),
+        R=jnp.broadcast_to(2 * R, (T, 1, 1)),
+        M=jnp.zeros((T, 1, 2), jnp.float32),
+        q=jnp.float32(rng.uniform(-1, 1, (T, 2))),
+        r=jnp.float32(rng.uniform(-1, 1, (T, 1))),
+        Qf=2 * Qf,
+        qf=jnp.float32(rng.uniform(-1, 1, 2)),
+    )
+    seq = tvlqr_backward(dyn, cost)
+    par = tvlqr_backward_assoc(dyn, cost)
+    np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(par.k), np.asarray(seq.k), rtol=1e-3, atol=1e-4)
+
+
+def test_linearize_dynamics_exact_for_linear_model():
+    A = np.array([[1.0, 0.2], [0.1, 0.9]], np.float32)
+    B = np.array([[0.0], [0.5]], np.float32)
+    model = make_linear_model(A, B, np.eye(2), np.eye(1))
+    xs = jnp.float32(np.random.default_rng(0).uniform(-1, 1, (5, 2)))
+    us = jnp.float32(np.random.default_rng(1).uniform(-1, 1, (4, 1)))
+    dyn = linearize_dynamics(model, xs[:-1], us)
+    for t in range(4):
+        np.testing.assert_allclose(np.asarray(dyn.A[t]), A, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dyn.B[t]), B, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(dyn.c[t]), 0, atol=1e-6)
+
+
+def test_qpmpc_stabilizes_cartpole_upright():
+    """BASELINE config 2: cartpole stabilization, QP MPC horizon 50, box
+    input constraints, closed-loop."""
+    from benchmarking_mpc_solvers_tpu.envs import CartPoleSwingUpEnv
+    from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig, run_episode
+
+    env = CartPoleSwingUpEnv
+    # cartpole's feature cost is quartic around upright, so the Gauss-Newton
+    # weights vanish at the goal — stabilization needs explicit LQR weights
+    solver = QPMPC(
+        model=env.model,
+        T=50,
+        iters=60,
+        goal_x=(0.0, 0.0, 0.0, 0.0),
+        Q=((0.5, 0, 0, 0), (0, 0.1, 0, 0), (0, 0, 5.0, 0), (0, 0, 0, 0.5)),
+        R=((0.1,),),
+    )
+    cfg = EpisodeConfig(n_steps=40, record_plans=False)
+    x0 = jnp.array([0.3, 0.0, 0.4, 0.0], jnp.float32)  # near-upright perturbation
+    res = jax.jit(lambda k: run_episode(env, solver, cfg, k, x0))(jax.random.PRNGKey(0))
+    final = np.asarray(res.true_states[-1])
+    assert np.abs(final[2]) < 0.1, final  # pole angle re-stabilized
+    assert np.abs(np.asarray(res.true_actions)).max() <= 1.0 + 1e-5
+
+
+def test_qpmpc_pendulum_admm_config():
+    """BASELINE config 1: pendulum, linear MPC, horizon 20, condensed ADMM."""
+    solver = QPMPC(model=PendulumModel, T=20, method="admm", iters=100)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    x = jnp.array([0.4, 0.0], jnp.float32)
+    new_state, u0, _ = jax.jit(solver.solve)(state, x, jnp.zeros((20, 3)))
+    assert np.all(np.isfinite(np.asarray(new_state.planned_us)))
+    # from a small positive angle the controller should push back
+    assert float(u0[0]) < 0.0
+
+
+def test_sqp_improves_acrobot_plan():
+    """BASELINE config 4: acrobot NMPC via SQP."""
+    from benchmarking_mpc_solvers_tpu.models import AcrobotModel
+
+    T = 25
+    solver = SQP(model=AcrobotModel, T=T, max_iter=8)
+    # hanging rest (x=0) is a stationary point with zero gradient; perturb
+    # slightly so SQP has a descent direction
+    x0 = jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 5), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    _, cost0 = simulate_trajectory(AcrobotModel, x0, state.planned_us, g_z)
+    state, u0, _ = jax.jit(solver.solve)(state, x0, g_z)
+    _, cost1 = simulate_trajectory(AcrobotModel, x0, state.planned_us, g_z)
+    assert float(cost1) < float(cost0)
+    assert np.abs(np.asarray(state.planned_us)).max() <= 1.0 + 1e-6
+
+
+def test_sqp_matches_lqr_on_linear_problem():
+    A = np.array([[1.0, 0.1], [0.0, 1.0]], np.float32)
+    B = np.array([[0.0], [0.1]], np.float32)
+    Q = np.diag([1.0, 0.1]).astype(np.float32)
+    R = np.array([[0.1]], np.float32)
+    model = make_linear_model(A, B, Q, R, Q, bounds=1e6)
+    T = 15
+    solver = SQP(model=model, T=T, max_iter=10)
+    x0 = jnp.array([1.0, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    state, _, _ = solver.solve(state, x0, g_z)
+
+    # closed-form LQR reference
+    P = Q.copy()
+    Ks = []
+    for _ in range(T):
+        K = np.linalg.solve(R + B.T @ P @ B, B.T @ P @ A)
+        P = Q + A.T @ P @ A - A.T @ P @ B @ K
+        Ks.append(K)
+    Ks = Ks[::-1]
+    us, x = [], np.array([1.0, 0.0], np.float32)
+    for t in range(T):
+        u = -Ks[t] @ x
+        us.append(u)
+        x = A @ x + B @ u
+    np.testing.assert_allclose(
+        np.asarray(state.planned_us), np.array(us), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_riccati_admm_matches_condensed_admm_on_stable_system():
+    from benchmarking_mpc_solvers_tpu.ops import admm_solve_riccati
+
+    T = 10
+    dyn, Q, R, Qf = double_integrator(T)
+    x0 = jnp.array([3.0, 1.0], jnp.float32)
+    qp = condense(dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0)
+    U_dense = admm_solve(qp, iters=1000, eps=1e-9).U
+    us, r_p, r_d, _ = admm_solve_riccati(
+        dyn, x0, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0,
+        iters=1000, eps=1e-9,
+    )
+    np.testing.assert_allclose(np.asarray(us.ravel()), np.asarray(U_dense), atol=2e-3)
+    assert float(r_p) < 1e-6 and float(r_d) < 1e-6
