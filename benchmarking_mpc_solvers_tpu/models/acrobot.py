@@ -19,6 +19,7 @@ arithmetic and everything vmaps.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .base import Model, quad_cost
 
@@ -31,10 +32,10 @@ LC2 = 0.5
 I1 = 1.0
 I2 = 1.0
 GRAV = 9.8
-MAX_VEL_1 = 4.0 * jnp.pi
-MAX_VEL_2 = 9.0 * jnp.pi
+MAX_VEL_1 = 4.0 * np.pi
+MAX_VEL_2 = 9.0 * np.pi
 
-W = jnp.diag(jnp.array([1.0, 0.0, 0.0, 0.0, 0.0], dtype=jnp.float32))
+W = np.diag(np.array([1.0, 0.0, 0.0, 0.0, 0.0], dtype=np.float32))
 
 
 def _dsdt(s, a):

@@ -27,6 +27,7 @@ import dataclasses
 from typing import Callable
 
 import jax.numpy as jnp
+import numpy as np
 
 Array = jnp.ndarray
 
@@ -91,7 +92,7 @@ class Model:
 
 def quad_cost(W: Array) -> Callable[[Array, Array], Array]:
     """Quadratic cost (z-g)ᵀ W (z-g) as a pure function of (z, g_z)."""
-    W = jnp.asarray(W, dtype=jnp.float32)
+    W = np.asarray(W, dtype=np.float32)
 
     def cost(z: Array, g_z: Array) -> Array:
         zd = z - g_z

@@ -19,6 +19,7 @@ Semantics reproduced exactly:
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .base import Model, quad_cost
 
@@ -33,8 +34,8 @@ DT = 0.05
 B_FRICTION = 0.1
 X_THRESHOLD = 2.4
 
-W = jnp.diag(jnp.array([1.0, 0.0, 5.0, 0.0, 0.0], dtype=jnp.float32))
-W_T = jnp.diag(jnp.array([-5.0, 0.0, -10.0, 0.0, 0.0], dtype=jnp.float32))
+W = np.diag(np.array([1.0, 0.0, 5.0, 0.0, 0.0], dtype=np.float32))
+W_T = np.diag(np.array([-5.0, 0.0, -10.0, 0.0, 0.0], dtype=np.float32))
 
 
 def dynamics(x, u):

@@ -15,6 +15,7 @@ Semantics reproduced exactly (needed for the <1e-3 control-error gate):
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .base import Model, quad_cost
 
@@ -25,8 +26,8 @@ G = 10.0
 M = 1.0
 L = 1.0
 
-W = jnp.diag(jnp.array([1.0, 0.1, 0.001], dtype=jnp.float32))
-W_T = jnp.diag(jnp.array([1.0, 2.0, 0.0], dtype=jnp.float32))
+W = np.diag(np.array([1.0, 0.1, 0.001], dtype=np.float32))
+W_T = np.diag(np.array([1.0, 2.0, 0.0], dtype=np.float32))
 
 
 def angle_normalize(x):

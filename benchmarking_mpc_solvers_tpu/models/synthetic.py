@@ -19,7 +19,7 @@ from .base import Model, quad_cost
 
 
 def make_dummy_model(state_size: int, action_size: int) -> Model:
-    W = jnp.eye(state_size + action_size, dtype=jnp.float32)
+    W = np.eye(state_size + action_size, dtype=np.float32)
 
     def dynamics(x, u):
         return x

@@ -1,0 +1,137 @@
+"""Experiment core tests: runner schema parity, store roundtrip + queries,
+plots, LaTeX tables."""
+
+import numpy as np
+import pytest
+
+from benchmarking_mpc_solvers_tpu.experiment import (
+    Experiment,
+    ResultStore,
+    aggregate,
+    format_table,
+    generate_tables,
+    plot_experiment,
+    plot_experiments,
+)
+
+REFERENCE_KEYS = [
+    # schema parity with ExperimentCore/Experiment.py:109-139
+    "name",
+    "computation_time",
+    "passed_time",
+    "warmstart",
+    "warmstart_trajectories",
+    "env_name",
+    "model_name",
+    "agent_name",
+    "agent_config",
+    "env_start_state",
+    "env_states",
+    "env_actions",
+    "env_costs",
+    "actuation_noise",
+    "sensor_noise",
+    "model_noise",
+    "agent_planning_states",
+    "agent_planning_actions",
+    "agent_planning_costs",
+]
+
+
+@pytest.fixture(scope="module")
+def mppi_result():
+    exp = Experiment(
+        {
+            "env": "pendulum",
+            "agent": "MPPI",
+            "agent_config": {"K": 16, "T": 8, "std": 1.0, "lam": 0.1},
+            "experiment_length": 10,
+            "start_state": np.array([np.pi, 0.0]),
+        }
+    )
+    return exp(warmstart=3)
+
+
+def test_result_schema_matches_reference(mppi_result):
+    for key in REFERENCE_KEYS:
+        assert key in mppi_result, f"missing reference result key {key}"
+    assert len(mppi_result["computation_time"]) == 10
+    assert mppi_result["env_states"].shape == (10, 2)
+    assert mppi_result["env_actions"].shape == (10, 1)
+    assert mppi_result["env_costs"].shape == (10,)
+    assert mppi_result["agent_planning_states"].shape == (10, 9, 2)
+    assert mppi_result["warmstart_trajectories"].shape == (3, 8, 1)
+    assert np.all(np.isfinite(mppi_result["env_costs"]))
+
+
+def test_noise_flags_add_true_fields():
+    exp = Experiment(
+        {
+            "env": "pendulum",
+            "agent": "MPPI",
+            "agent_config": {"K": 8, "T": 5, "std": 1.0, "lam": 1.0},
+            "experiment_length": 4,
+            "start_state": np.array([1.0, 0.0]),
+            "actuation_noise": 0.5,
+            "sensor_noise": 0.2,
+            "model_noise": True,
+        }
+    )
+    res = exp()
+    assert res["actuation_noise"] and res["sensor_noise"] and res["model_noise"]
+    assert "env_true_states" in res and "env_true_actions" in res
+    assert res["sensor_noise_std"] == 0.2
+
+
+def test_all_solvers_run_through_experiment():
+    for agent, config in [
+        ("CEM", {"K": 8, "T": 5, "max_iter": 2, "n_elite": 3, "epsilon": 1e-3, "alpha": 0.2, "std": 1.0}),
+        ("ILQR", {"T": 5, "max_iter": 2, "threshold": 1e-3, "closed_loop": False}),
+        ("QPMPC", {"T": 5, "max_iter": 30}),
+        ("SQP", {"T": 5, "max_iter": 3}),
+    ]:
+        exp = Experiment(
+            {
+                "env": "pendulum",
+                "agent": agent,
+                "agent_config": config,
+                "experiment_length": 3,
+                "start_state": np.array([0.5, 0.0]),
+            }
+        )
+        res = exp()
+        assert np.all(np.isfinite(res["env_costs"])), agent
+
+
+def test_store_roundtrip_and_query(tmp_path, mppi_result):
+    store = ResultStore(str(tmp_path), "unit")
+    store.insert(mppi_result)
+    store.insert({**mppi_result, "agent_name": "CEM"})
+    assert store.count() == 2
+    found = store.find({"agent_name": "MPPI", "agent_config.T": 8})
+    assert len(found) == 1
+    np.testing.assert_allclose(found[0]["env_costs"], mppi_result["env_costs"])
+    # operator queries
+    assert store.count({"agent_config.K": {"$gt": 10}}) == 2
+    assert store.count({"agent_config.K": {"$in": [99]}}) == 0
+    assert store.count({"agent_name": {"$ne": "MPPI"}}) == 1
+
+
+def test_plots_render(tmp_path, mppi_result):
+    fig = plot_experiment(mppi_result, plot_planning=True)
+    fig.savefig(tmp_path / "single.png")
+    fig2 = plot_experiments([mppi_result, {**mppi_result, "agent_name": "CEM"}])
+    fig2.savefig(tmp_path / "multi.png")
+    assert (tmp_path / "single.png").stat().st_size > 0
+    assert (tmp_path / "multi.png").stat().st_size > 0
+
+
+def test_tables_generation(tmp_path, mppi_result):
+    store = ResultStore(str(tmp_path), "tbl")
+    store.insert({**mppi_result, "env_name": "PendulumEnvironment"})
+    paths = generate_tables([store], str(tmp_path / "tex"), horizons=(8,), sample_counts=(16,))
+    assert len(paths) == 2  # T table + K table
+    text = open(paths[0]).read()
+    assert r"\begin{document}" in text and "MPPI" in text
+    stats = aggregate([mppi_result])
+    assert stats["Min"] <= stats["Median"] <= stats["Q 75"]
