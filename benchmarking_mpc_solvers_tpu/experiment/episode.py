@@ -28,7 +28,9 @@ from ..solvers.base import Solver, predict_action, warm_start
 
 
 class EpisodeResult(NamedTuple):
-    observations: jnp.ndarray  # (N, S) observed states fed to the solver
+    observations: jnp.ndarray  # (N, S) post-step observed states (the
+    # reference history "state" column, env.py:48-49; step i's solver input
+    # is observations[i-1], or x0 at i=0)
     true_states: jnp.ndarray  # (N+1, S) plant states incl. x0
     actions: jnp.ndarray  # (N, A) actuated (noise-injected) actions
     true_actions: jnp.ndarray  # (N, A) commanded actions
@@ -78,7 +80,7 @@ def run_episode(
         out = predict_action(solver, sstate, obs, g_z, shift=cfg.record_plans)
         es = env_step(env, k, x_true, out.action, cfg.noise)
         rec = (
-            obs,
+            es.observation,
             es.true_state,
             es.action,
             es.true_action,

@@ -98,8 +98,90 @@ class Experiment:
         return solver, noise
 
     # -- execution ------------------------------------------------------------
+    def _run_timed_per_step(self, solver, noise, warmstart: int):
+        """Faithful per-step latency mode: one jitted predict_action + one
+        jitted env step per loop iteration with wall-clock timing around the
+        solve, exactly like the reference loop (``Experiment.py:79-99``).
+        Slower end-to-end (host round-trip per step) but gives true
+        per-step solve latencies instead of an amortized mean."""
+        from ..envs.env import env_step
+        from ..solvers.base import predict_action, warm_start as do_warm_start
+
+        env = self.env
+        model = env.model
+        g_z = jnp.broadcast_to(
+            jnp.zeros((model.goal_size,), jnp.float32), (solver.T, model.goal_size)
+        )
+        key = jax.random.PRNGKey(self.seed)
+        k_solver, k_env = jax.random.split(key)
+        sstate = solver.init_state(k_solver)
+        ws_trajs = None
+        if warmstart > 0:
+            warm = jax.jit(
+                lambda st, x: do_warm_start(solver, st, x, g_z, warmstart)
+            )
+            sstate, ws_trajs = warm(sstate, jnp.asarray(self.start_state))
+
+        predict = jax.jit(lambda st, x: predict_action(solver, st, x, g_z))
+        step_env = jax.jit(lambda k, x, u: env_step(env, k, x, u, noise))
+
+        # warm the compile caches off the clock
+        _ = jax.block_until_ready(predict(sstate, jnp.asarray(self.start_state)))
+
+        x_true = obs = jnp.asarray(self.start_state)
+        computation_time = []
+        records = []
+        keys = jax.random.split(k_env, self.experiment_length)
+        for i in range(self.experiment_length):
+            t0 = time.perf_counter()
+            out = jax.block_until_ready(predict(sstate, obs))
+            computation_time.append(round(time.perf_counter() - t0, 6))
+            sstate = out.state
+            es = step_env(keys[i], x_true, out.action)
+            x_true, obs = es.true_state, es.observation
+            records.append((obs, es, out))
+
+        model = self.env.model
+        passed_time = round(float(np.sum(computation_time)), 6)
+        out_dict: Dict[str, Any] = {
+            "name": f"{self.agent_name} solving {self.env.name} with {model.name}"
+            f"\n Starting from {self.start_state} Time: {passed_time}",
+            "computation_time": computation_time,
+            "passed_time": passed_time,
+            "compile_time": 0.0,
+            "warmstart": warmstart > 0,
+            "warmstart_trajectories": np.asarray(ws_trajs)
+            if ws_trajs is not None
+            else np.zeros((0, solver.T, model.action_size), np.float32),
+            "env_name": self.env.name,
+            "model_name": model.name,
+            "agent_name": self.agent_name,
+            "agent_config": self.agent_config,
+            "env_start_state": self.start_state.tolist(),
+            "env_states": np.stack([np.asarray(r[0]) for r in records]),
+            "env_actions": np.stack([np.asarray(r[1].action) for r in records]),
+            "env_costs": np.array([float(r[1].cost) for r in records]),
+            "actuation_noise": self.actuation_noise_std > 0,
+            "sensor_noise": self.sensor_noise_std > 0,
+            "model_noise": self.model_is_noised,
+            "agent_planning_states": np.stack([np.asarray(r[2].planned_xs) for r in records]),
+            "agent_planning_actions": np.stack([np.asarray(r[2].planned_us) for r in records]),
+            "agent_planning_costs": np.array([float(r[2].planned_cost) for r in records]),
+            "repetitions": 1,
+        }
+        if self.sensor_noise_std > 0:
+            out_dict["env_true_states"] = np.stack([np.asarray(r[1].true_state) for r in records])
+            out_dict["sensor_noise_std"] = self.sensor_noise_std
+        if self.actuation_noise_std > 0:
+            out_dict["env_true_actions"] = np.stack([np.asarray(r[1].true_action) for r in records])
+            out_dict["actuation_noise_std"] = self.actuation_noise_std
+        self.experiment_results = out_dict
+        return out_dict
+
     def run(self, warmstart: Optional[int] = None) -> Dict[str, Any]:
         solver, noise = self._build()
+        if self.timed_per_step:
+            return self._run_timed_per_step(solver, noise, warmstart or 0)
         cfg = EpisodeConfig(
             n_steps=self.experiment_length,
             warmstart=warmstart or 0,

@@ -135,3 +135,26 @@ def test_tables_generation(tmp_path, mppi_result):
     assert r"\begin{document}" in text and "MPPI" in text
     stats = aggregate([mppi_result])
     assert stats["Min"] <= stats["Median"] <= stats["Q 75"]
+
+
+def test_timed_per_step_mode():
+    """Faithful per-step latency mode must produce the same schema with
+    genuinely per-step (non-constant) timings."""
+    exp = Experiment(
+        {
+            "env": "pendulum",
+            "agent": "MPPI",
+            "agent_config": {"K": 8, "T": 5, "std": 1.0, "lam": 1.0},
+            "experiment_length": 6,
+            "start_state": np.array([1.0, 0.0]),
+            "timed_per_step": True,
+        }
+    )
+    res = exp(warmstart=2)
+    for key in REFERENCE_KEYS:
+        assert key in res, key
+    assert len(res["computation_time"]) == 6
+    assert all(t > 0 for t in res["computation_time"])
+    assert res["env_states"].shape == (6, 2)
+    assert res["warmstart_trajectories"].shape == (2, 5, 1)
+    assert np.all(np.isfinite(res["env_costs"]))
