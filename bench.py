@@ -4,15 +4,21 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric definition (BASELINE.json): full MPC solve steps per second per chip
-— each solve is one MPPI predict_action (K rollout evaluations of horizon
-T=50 + softmax update) plus the plant step, measured in steady state over a
-batched closed-loop simulation.
+— each solve is one MPPI predict_action (K fused-Pallas rollout evaluations
+of horizon T=50 + softmax update) plus the plant step, in a batched
+closed-loop simulation on the fused episode path.
+
+Timing method: device time is measured as the slope between jitted calls
+that run 1 vs R episode batches internally (fresh PRNG-folded inputs per
+inner batch, scalar checksum output). The single-call latency through this
+environment's remote-tunnel runtime includes a ~30 ms RTT and
+``block_until_ready`` does not reliably await remote completion, so naive
+wall-clock timing is wrong in both directions; the slope is RTT-free.
 
 vs_baseline: the reference solves serially at roughly 1 MPC step/s for this
 config (BASELINE.md: MPPI cartpole T=50 aggregates ~1.5e3 s of solve time
-over ~1.5e3 closed-loop steps on a 12-core host; per-step latency is
-~0.5-1.5 s across the sweep tables). We use 1.0 solve/s as the reference
-number, so vs_baseline == our solves/s.
+over ~1.5e3 closed-loop steps on a 12-core host), so vs_baseline == our
+solves/s.
 """
 
 import json
@@ -21,47 +27,57 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 REFERENCE_SOLVES_PER_SEC = 1.0
 HORIZON = 50
 K_SAMPLES = 32
-BATCH = 4096
+BATCH = 8192
 N_STEPS = 20
+INNER_REPS = 9
+OUTER_REPS = 3
 
 
 def main():
     from benchmarking_mpc_solvers_tpu.envs import CartPoleSwingUpEnv
-    from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig, run_episode
+    from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig
+    from benchmarking_mpc_solvers_tpu.experiment.episode import run_episodes_fused
     from benchmarking_mpc_solvers_tpu.solvers import MPPI
 
     env = CartPoleSwingUpEnv
     solver = MPPI(model=env.model, T=HORIZON, K=K_SAMPLES, std=1.0, lam=1.0)
     cfg = EpisodeConfig(n_steps=N_STEPS, warmstart=0, record_plans=False)
-
-    @jax.jit
-    def batch(keys, x0s):
-        res = jax.vmap(lambda k, x0: run_episode(env, solver, cfg, k, x0))(keys, x0s)
-        return res.costs
-
-    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     x0s = jnp.tile(env.start_state, (BATCH, 1))
 
-    costs = jax.block_until_ready(batch(keys, x0s))  # compile
-    t0 = time.perf_counter()
-    reps = 3
-    for i in range(reps):
-        keys = jax.random.split(jax.random.PRNGKey(i + 1), BATCH)
-        costs = jax.block_until_ready(batch(keys, x0s))
-    dt = (time.perf_counter() - t0) / reps
+    def one_batch(key):
+        keys = jax.random.split(key, BATCH)
+        return run_episodes_fused(env, solver, cfg, keys, x0s).costs.sum()
 
-    solves = BATCH * N_STEPS
-    solves_per_sec = solves / dt
-    assert bool(jnp.all(jnp.isfinite(costs))), "non-finite costs"
+    def repeated(key, n):
+        def body(carry, i):
+            return carry + one_batch(jax.random.fold_in(key, i)), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return out
+
+    times = {}
+    checksums = []
+    for n in (1, INNER_REPS):
+        f = jax.jit(lambda k, n=n: repeated(k, n))
+        checksums.append(float(f(jax.random.PRNGKey(0))))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(OUTER_REPS):
+            checksums.append(float(f(jax.random.PRNGKey(i + 1))))
+        times[n] = (time.perf_counter() - t0) / OUTER_REPS
+
+    assert all(np.isfinite(checksums)), "non-finite episode costs"
+    per_batch = (times[INNER_REPS] - times[1]) / (INNER_REPS - 1)
+    solves_per_sec = BATCH * N_STEPS / per_batch
 
     print(
         json.dumps(
             {
-                "metric": f"cartpole MPC solves/s/chip (MPPI K={K_SAMPLES}, T={HORIZON}, batch={BATCH})",
+                "metric": f"cartpole MPC solves/s/chip (MPPI K={K_SAMPLES}, T={HORIZON}, batch={BATCH}, fused pallas)",
                 "value": round(float(solves_per_sec), 1),
                 "unit": "solves/s",
                 "vs_baseline": round(float(solves_per_sec / REFERENCE_SOLVES_PER_SEC), 1),

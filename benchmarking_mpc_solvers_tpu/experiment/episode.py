@@ -114,3 +114,74 @@ def run_episodes_batch(env: Env, solver: Solver, cfg: EpisodeConfig, keys, x0s):
     5-repetition sweep loops (``scripts/sample_test.py:26-51``) collapsed
     into one batched program."""
     return jax.vmap(lambda k, x0: run_episode(env, solver, cfg, k, x0))(keys, x0s)
+
+
+def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
+    """Batched closed-loop episodes on the fused Pallas rollout path.
+
+    Requires a solver exposing ``solve_batch`` / ``init_state_batch``
+    (currently MPPI): the B scenarios' K-sample rollouts flatten into one
+    Pallas kernel launch per MPC step instead of a vmapped scan — the
+    headline solves/s path (bench.py). Semantics match ``run_episode`` with
+    resampled perturbations; plans/warm-start recording are not materialized
+    (use the generic path when you need them).
+    """
+    model = env.model
+    B = x0s.shape[0]
+    goal = (
+        jnp.zeros((model.goal_size,), jnp.float32)
+        if cfg.goal_state is None
+        else jnp.asarray(cfg.goal_state, jnp.float32)
+    )
+    g_z = jnp.broadcast_to(goal, (solver.T, model.goal_size))
+
+    k_all = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+    k_env = k_all[:, 1]
+    sstates = solver.init_state_batch(k_all[:, 0])
+
+    def warm(carry, _):
+        sstates = carry
+        sstates, _, _ = solver.solve_batch(sstates, x0s, g_z)
+        sstates = sstates._replace(
+            planned_us=jnp.clip(sstates.planned_us, model.lo, model.hi)
+        )
+        return sstates, None
+
+    if cfg.warmstart > 0:
+        sstates, _ = jax.lax.scan(warm, sstates, None, length=cfg.warmstart)
+
+    batched_env_step = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))
+
+    def step(carry, keys_t):
+        sstates, x_true, obs = carry
+        sstates, u0s, _ = solver.solve_batch(sstates, obs, g_z)
+        planned = jnp.clip(sstates.planned_us, model.lo, model.hi)
+        if cfg.record_plans:
+            # receding-horizon shift (agent.py:72-73)
+            shifted = jnp.roll(planned, -1, axis=1).at[:, -1].set(0.0)
+            sstates = sstates._replace(planned_us=shifted)
+        else:
+            sstates = sstates._replace(planned_us=planned)
+        actions = jnp.clip(u0s, model.lo, model.hi)
+        es = batched_env_step(keys_t, x_true, actions)
+        rec = (es.observation, es.true_state, es.action, es.true_action, es.cost, es.done)
+        return (sstates, es.true_state, es.observation), rec
+
+    keys_t = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(k_env)
+    keys_t = jnp.swapaxes(keys_t, 0, 1)  # (N, B, key)
+    (_, _, _), recs = jax.lax.scan(step, (sstates, x0s, x0s), keys_t)
+    obs, true_states, actions, true_actions, costs, dones = recs
+    return EpisodeResult(
+        observations=jnp.swapaxes(obs, 0, 1),
+        true_states=jnp.concatenate(
+            [x0s[:, None], jnp.swapaxes(true_states, 0, 1)], axis=1
+        ),
+        actions=jnp.swapaxes(actions, 0, 1),
+        true_actions=jnp.swapaxes(true_actions, 0, 1),
+        costs=jnp.swapaxes(costs, 0, 1),
+        dones=jnp.swapaxes(dones, 0, 1),
+        planned_states=None,
+        planned_actions=None,
+        planned_costs=None,
+        warmstart_trajectories=None,
+    )

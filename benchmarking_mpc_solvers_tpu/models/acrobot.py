@@ -91,8 +91,10 @@ def dynamics(x, u):
 
 def transform(x, u):
     tip = -jnp.cos(x[0]) - jnp.cos(x[1] + x[0]) - 2.0
-    zeros = jnp.zeros((), x.dtype)
-    return jnp.stack([tip, zeros, zeros, zeros, u[0]])
+    # zeros_like keeps this transform valid on row-stacked tile layouts
+    # (x rows are (lanes,) vectors inside the fused Pallas kernel)
+    zeros = jnp.zeros_like(tip)
+    return jnp.stack([tip, zeros, zeros, zeros, u[0] + zeros])
 
 
 AcrobotModel = Model(

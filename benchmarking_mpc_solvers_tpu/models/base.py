@@ -91,11 +91,17 @@ class Model:
 
 
 def quad_cost(W: Array) -> Callable[[Array, Array], Array]:
-    """Quadratic cost (z-g)ᵀ W (z-g) as a pure function of (z, g_z)."""
+    """Quadratic cost (z-g)ᵀ W (z-g) as a pure function of (z, g_z).
+
+    The weight matrix is attached as ``cost.W`` so batched/fused paths
+    (e.g. the Pallas rollout kernel in ``ops/fused.py``) can evaluate the
+    same quadratic on row-stacked tiles without re-deriving it.
+    """
     W = np.asarray(W, dtype=np.float32)
 
     def cost(z: Array, g_z: Array) -> Array:
         zd = z - g_z
         return zd @ W @ zd
 
+    cost.W = W
     return cost

@@ -1,0 +1,139 @@
+"""Fused Pallas rollout+cost kernel — the hot path of the sampling solvers.
+
+One kernel launch evaluates N = B·K independent horizon-T rollouts with the
+state resident in VMEM across the whole horizon. Against the XLA scan
+rollout (``rollout.py``) this measures ~8x faster at the benchmark working
+set (262144 rollouts x T=50 cartpole: 1.1 ms vs 9.1 ms on v5e — 11.5G
+rollout-steps/s; timings via in-jit repetition slopes, immune to the remote
+-tunnel RTT).
+
+Why it's fast — the layout is the whole trick:
+- state is an (S, 8, TL) tensor: component i is the full-VREG (8, TL) tile
+  ``x[i]`` (8 sublanes x TL lanes), so the *unmodified* model functions
+  (which index ``x[i]`` and rebuild with ``jnp.stack``) run inside the
+  kernel with every intermediate a natively-tiled value. A 2-D (S, TILE)
+  layout instead makes ``x[i]`` a 1-D (TILE,) value that Mosaic re-tiles
+  every step (measured 250x slower), and a (S, 1, TILE) layout wastes 7/8
+  sublanes (measured 3.7x slower). No physics is duplicated: the kernel
+  calls ``model.transform`` / ``model.dynamics`` directly.
+- the quadratic stage cost is unrolled over the *nonzero* entries of
+  ``model.state_cost.W`` (attached by ``models.base.quad_cost``) — 2-3
+  multiply-adds per step instead of a (Z,Z) matmul.
+- only the action stream (T, 1, TILE) is read per program; everything else
+  lives in registers/VMEM.
+
+Scope: single-input models (action_size == 1 — all benchmark systems) with
+quad_cost stage costs. On non-TPU backends the kernel runs in interpreter
+mode (tests).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.base import Model
+
+DEFAULT_LANES = 512
+SUBLANES = 8
+DEFAULT_TILE = SUBLANES * DEFAULT_LANES
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def fused_rollout_costs_tm(model: Model, x0_tm, us_tm, g_z, tile: int = DEFAULT_TILE):
+    """Time-major variant: x0_tm (S, N), us_tm (T, N) -> (N,) costs.
+
+    The kernel's native layout — callers that can produce time-major action
+    streams directly (``MPPI.solve_batch``) skip the 50-MB-scale transpose
+    the (N, T) entry point pays.
+    """
+    if model.action_size != 1:
+        raise NotImplementedError("fused rollout supports action_size == 1")
+    W = np.asarray(model.state_cost.W, np.float32)
+    Z = W.shape[0]
+    Wsym = 0.5 * (W + W.T)
+    nz = [
+        (i, j, float(Wsym[i, j] * (1.0 if i == j else 2.0)))
+        for i in range(Z)
+        for j in range(i, Z)
+        if Wsym[i, j] != 0.0
+    ]
+    S, N = x0_tm.shape
+    T = us_tm.shape[0]
+    tl = tile // SUBLANES
+    Np = _round_up(max(N, tile), tile)
+    if Np != N:
+        x0_tm = jnp.zeros((S, Np), jnp.float32).at[:, :N].set(x0_tm)
+        us_tm = jnp.zeros((T, Np), jnp.float32).at[:, :N].set(us_tm)
+    x0_p = x0_tm.reshape(S, SUBLANES, Np // SUBLANES)
+    us_p = us_tm.reshape(T, SUBLANES, Np // SUBLANES)
+
+    def kernel(gz_ref, x0_ref, us_ref, out_ref):
+        x = x0_ref[:]  # (S, 8, TL)
+
+        def body(t, carry):
+            x, acc = carry
+            u = us_ref[pl.ds(t, 1)]  # (1, 8, TL); model code uses u[0]
+            z = model.transform(x, u)  # (Z, 8, TL)
+            c = jnp.zeros((SUBLANES, tl), jnp.float32)
+            for i, j, w in nz:
+                zi = z[i] - gz_ref[t, i]
+                zj = zi if i == j else z[j] - gz_ref[t, j]
+                c = c + w * (zi * zj)
+            x_new = model.dynamics(x, u)
+            return x_new, acc + c
+
+        _, acc = lax.fori_loop(
+            0, T, body, (x, jnp.zeros((SUBLANES, tl), jnp.float32))
+        )
+        out_ref[:] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(Np // tile,),
+        in_specs=[
+            pl.BlockSpec((T, Z), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((S, SUBLANES, tl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, SUBLANES, tl), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((SUBLANES, tl), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((SUBLANES, Np // SUBLANES), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(g_z, x0_p, us_p)
+    return out.reshape(Np)[:N]
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def fused_rollout_costs(model: Model, x0b, usb, g_z, tile: int = DEFAULT_TILE):
+    """Total stage costs of N independent rollouts in one kernel launch.
+
+    Args:
+      model: Model with action_size == 1 and quad_cost stage cost.
+      x0b: (N, S) initial states.
+      usb: (N, T) action sequences (single input).
+      g_z: (T, Z) goal features.
+      tile: samples per kernel program (multiple of 8*128; samples pack
+        into 8 sublanes x tile/8 lanes).
+
+    Returns: (N,) total costs — same contract as summing ``rollout``'s
+    per-step costs (cost evaluated at the pre-step state).
+    """
+    return fused_rollout_costs_tm(model, x0b.T, usb.T, g_z, tile)
+
+
+def fused_rollout_cost_samples(model: Model, x0, samples, g_z, tile: int = DEFAULT_TILE):
+    """(K, T, A=1) samples from one state -> (K,) costs. Drop-in for the
+    cost part of ``rollout.rollout_cost_samples`` on the fused path."""
+    K, T, A = samples.shape
+    x0b = jnp.broadcast_to(x0, (K, x0.shape[0]))
+    return fused_rollout_costs(model, x0b, samples[..., 0], g_z, tile)

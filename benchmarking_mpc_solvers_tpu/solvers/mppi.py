@@ -88,3 +88,70 @@ class MPPI(Solver):
 
         new_state = MPPIState(planned, state.delta_u, key)
         return new_state, planned[0], {"sample_costs": costs}
+
+    # -- batched-scenario fast path -------------------------------------------
+    def init_state_batch(self, keys) -> MPPIState:
+        """Batched state from per-scenario keys (B, 2). Mirrors
+        ``init_state``'s key split so the batched path reproduces the
+        per-scenario path bit-for-bit; the delta placeholder is (1,1,1)
+        (the compat sample-once mode stays on the per-scenario path)."""
+        batch = keys.shape[0]
+        keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        planned = jnp.zeros((batch, self.T, self.model.action_size), jnp.float32)
+        return MPPIState(planned, jnp.zeros((batch, 1, 1, 1), jnp.float32), keys)
+
+    def solve_batch(self, state: MPPIState, xs, g_z, use_fused: bool = True):
+        """One MPPI step for B scenarios at once.
+
+        Everything is *time-major*: the perturbations are drawn in one
+        threefry call with layout (T, B·K) and fed straight to the fused
+        Pallas kernel (``ops/fused.py``) — no per-scenario vmapped RNG, no
+        (B,K,T) materializations, no big transposes. Same update law as
+        ``solve`` with ``resample=True``; the noise stream differs (one
+        batched draw instead of per-scenario keys), which is immaterial to
+        the controller's distribution.
+
+        state fields carry a leading (B,) axis; xs is (B, S).
+        """
+        from ..ops.fused import fused_rollout_costs_tm
+
+        model = self.model
+        B, S = xs.shape
+        K, T, A = self.K, self.T, model.action_size
+        N = B * K
+        keys = jax.vmap(jax.random.split)(state.key)  # (B, 2, 2)
+        k_delta, key = keys[0, 0], keys[:, 1]
+
+        if use_fused and A == 1:
+            delta_tm = self.std * jax.random.normal(k_delta, (T, N), jnp.float32)
+            planned_tm = state.planned_us[..., 0].T  # (T, B)
+            us_tm = (
+                jnp.broadcast_to(planned_tm[:, :, None], (T, B, K)).reshape(T, N)
+                + delta_tm
+            )
+            x0_tm = jnp.broadcast_to(xs.T[:, :, None], (S, B, K)).reshape(S, N)
+            roll = fused_rollout_costs_tm(model, x0_tm, us_tm, g_z).reshape(B, K)
+            ctrl = (
+                self.lam
+                * jnp.einsum("tn,tn->n", us_tm, delta_tm).reshape(B, K)
+                / self.std**2
+            )
+            costs = roll + ctrl
+            beta = jnp.min(costs, axis=1, keepdims=True)
+            w = jax.nn.softmax(-(costs - beta) / self.lam, axis=1)
+            upd = jnp.einsum("bk,tbk->bt", w, delta_tm.reshape(T, B, K))
+            planned = state.planned_us + upd[:, :, None]
+        else:
+            delta = self.std * jax.random.normal(k_delta, (B, K, T, A), jnp.float32)
+            samples = state.planned_us[:, None] + delta
+            roll = jax.vmap(
+                lambda x, s: rollout_cost_samples(model, x, s, g_z)[0]
+            )(xs, samples)
+            ctrl = self.lam * jnp.einsum("bkta,bkta->bk", samples, delta) / self.std**2
+            costs = roll + ctrl
+            beta = jnp.min(costs, axis=1, keepdims=True)
+            w = jax.nn.softmax(-(costs - beta) / self.lam, axis=1)
+            planned = state.planned_us + jnp.einsum("bk,bkta->bta", w, delta)
+
+        new_state = MPPIState(planned, state.delta_u, key)
+        return new_state, planned[:, 0], {"sample_costs": costs}
