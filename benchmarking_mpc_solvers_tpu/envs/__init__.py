@@ -8,3 +8,5 @@ from .env import (  # noqa: F401
     REGISTRY,
     env_step,
 )
+from .render import render_episode, render_state  # noqa: F401
+from .gym_wrapper import GymEnvModel, GymWrapperEnv, HAVE_GYMNASIUM  # noqa: F401

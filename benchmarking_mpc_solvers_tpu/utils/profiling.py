@@ -1,0 +1,80 @@
+"""Profiling and timing utilities.
+
+The reference's only instrumentation is ``time.time()`` around
+``predict_action`` (``ExperimentCore/Experiment.py:80-89``). Here:
+
+- ``trace`` wraps ``jax.profiler`` for real device traces (view in
+  TensorBoard / xprof);
+- ``slope_timer`` measures device time via in-jit repetition slopes — the
+  only honest method on remote-tunneled runtimes where per-call wall clock
+  includes a large RTT and ``block_until_ready`` may not await remote
+  completion (measured ~30 ms RTT on this environment's axon tunnel);
+- ``Timer`` is a simple wall-clock context manager for host-side phases.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """Capture a jax.profiler device trace around a block."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
+
+
+class Timer:
+    def __init__(self, name: str = ""):
+        self.name = name
+        self.elapsed = 0.0
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        self.elapsed = time.perf_counter() - self._t0
+        return False
+
+
+def slope_timer(
+    fn: Callable,
+    key: Optional[jax.Array] = None,
+    inner_reps: int = 9,
+    outer_reps: int = 3,
+) -> float:
+    """Device seconds per call of ``fn(key) -> scalar``.
+
+    Jits ``lambda k: sum_i fn(fold_in(k, i))`` for 1 and ``inner_reps``
+    inner repetitions and returns the slope — per-call overhead (dispatch,
+    tunnel RTT, host sync) cancels out. ``fn`` must consume the key (fresh
+    inputs per repetition) and return a scalar (forces full evaluation).
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+
+    def repeated(k, n):
+        def body(c, i):
+            return c + fn(jax.random.fold_in(k, i)), None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), jnp.arange(n))
+        return out
+
+    times = {}
+    for n in (1, inner_reps):
+        f = jax.jit(lambda k, n=n: repeated(k, n))
+        float(f(key))  # compile + warm
+        t0 = time.perf_counter()
+        for i in range(outer_reps):
+            float(f(jax.random.fold_in(key, 1000 + i)))
+        times[n] = (time.perf_counter() - t0) / outer_reps
+    return (times[inner_reps] - times[1]) / (inner_reps - 1)
