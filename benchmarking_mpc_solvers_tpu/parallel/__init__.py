@@ -6,3 +6,4 @@ from .mesh import (  # noqa: F401
     sharded_episodes,
 )
 from .mppi_sharded import make_sharded_mppi_step  # noqa: F401
+from .distributed import distributed_init, global_mesh, global_stats  # noqa: F401

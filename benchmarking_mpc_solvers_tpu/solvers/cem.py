@@ -85,3 +85,66 @@ class CEM(Solver):
         )
         new_state = CEMState(mean, key)
         return new_state, mean[0], {}
+
+    # -- batched-scenario fast path -------------------------------------------
+    def init_state_batch(self, keys) -> CEMState:
+        """Batched state from per-scenario keys (B, 2)."""
+        batch = keys.shape[0]
+        keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
+        planned = jnp.zeros((batch, self.T, self.model.action_size), jnp.float32)
+        return CEMState(planned, keys)
+
+    def solve_batch(self, state: CEMState, xs, g_z, use_fused: bool = True):
+        """One CEM solve for B scenarios at once on the fused Pallas rollout
+        path. All refinement iterations run lock-step for max_iter with
+        per-scenario convergence masking (equivalent to the per-scenario
+        while_loop early exit); elite statistics are computed with one-hot
+        einsum reductions in time-major layout so no (B,K,T) transpose is
+        materialized.
+        """
+        from ..ops.fused import fused_rollout_costs_tm
+
+        model = self.model
+        B, S = xs.shape
+        K, T, A = self.K, self.T, model.action_size
+        if not (use_fused and A == 1):
+            st, u0, aux = jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
+            return st, u0, aux
+        N = B * K
+        x0_tm = jnp.broadcast_to(xs.T[:, :, None], (S, B, K)).reshape(S, N)
+        lo, hi = float(model.bounds_low[0]), float(model.bounds_high[0])
+
+        def body(carry, _):
+            mean, std, key, done = carry  # (B,T), (B,T), key, (B,)
+            k_sample, key = jax.random.split(key)
+            noise_tm = jax.random.normal(k_sample, (T, B, K), jnp.float32)
+            samples_tm = jnp.clip(
+                mean.T[:, :, None] + std.T[:, :, None] * noise_tm, lo, hi
+            )
+            costs = fused_rollout_costs_tm(
+                model, x0_tm, samples_tm.reshape(T, N), g_z
+            ).reshape(B, K)
+            _, elite_idx = lax.top_k(-costs, self.n_elite)  # (B, n_elite)
+            mask = jnp.zeros((B, K), jnp.float32).at[
+                jnp.arange(B)[:, None], elite_idx
+            ].set(1.0 / self.n_elite)
+            e_mean = jnp.einsum("bk,tbk->bt", mask, samples_tm)
+            e_sq = jnp.einsum("bk,tbk->bt", mask, samples_tm**2)
+            e_std = jnp.sqrt(jnp.maximum(e_sq - e_mean**2, 0.0))
+            new_mean = self.alpha * mean + (1.0 - self.alpha) * e_mean
+            new_std = self.alpha * std + (1.0 - self.alpha) * e_std
+            mean = jnp.where(done[:, None], mean, new_mean)
+            std = jnp.where(done[:, None], std, new_std)
+            done = jnp.logical_or(done, jnp.all(std < self.epsilon, axis=1))
+            return (mean, std, key, done), None
+
+        mean0 = state.planned_us[..., 0]  # (B, T)
+        std0 = jnp.full((B, T), self.std, jnp.float32)
+        key0 = state.key[0]
+        done0 = jnp.zeros((B,), bool)
+        (mean, _, _, _), _ = lax.scan(
+            body, (mean0, std0, key0, done0), None, length=self.max_iter
+        )
+        keys = jax.vmap(lambda k: jax.random.split(k)[1])(state.key)
+        new_state = CEMState(mean[:, :, None], keys)
+        return new_state, mean[:, :1, None][:, 0], {}

@@ -52,10 +52,28 @@ def std_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
-def run_and_store(store: ResultStore, params: dict, warmstart: int | None = 50) -> dict:
+def run_and_store(store: ResultStore, params: dict, warmstart: int | None = 50) -> dict | None:
+    """Run one experiment config into the store, with crash-resume: each
+    completed config is marked in a checkpoint file next to the collection,
+    so re-running a killed sweep skips finished work (the reference sweeps
+    restart from scratch)."""
+    import json as _json
+
+    from benchmarking_mpc_solvers_tpu.utils import SweepCheckpoint
+
+    ckpt = SweepCheckpoint(str(store.dir / "sweep_checkpoint.json"))
+    cfg_key = _json.dumps(
+        {k: v for k, v in params.items() if k != "start_state"}
+        | {"start_state": np.asarray(params["start_state"]).tolist(), "ws": warmstart},
+        sort_keys=True, default=str,
+    )
+    if ckpt.is_done(cfg_key):
+        print(f"[skip – done] {params['agent']} on {params['env']} {params['agent_config']}")
+        return None
     exp = Experiment(params)
     result = exp(warmstart=warmstart)
     store.insert(result)
+    ckpt.mark(cfg_key)
     total = float(np.sum(result["env_costs"]))
     print(
         f"[{params['agent']} on {params['env']}] cfg={params['agent_config']} "

@@ -1,0 +1,194 @@
+"""BASELINE.json benchmark suite — one JSON line per configuration.
+
+Configs (BASELINE.json "configs"):
+ 1. Pendulum swing-up, linear MPC, horizon 20, single condensed QP (ADMM)
+ 2. Cartpole stabilization, QP MPC horizon 50, box input constraints, closed loop
+ 3. Cartpole swing-up via iLQR/DDP, horizon 100, batched over 1k initial states
+ 4. Acrobot nonlinear MPC (SQP), horizon 100
+ 5. Multi-solver benchmark sweep (QP/iLQR/MPPI) x scenarios sharded over the mesh
+
+Each line reports solves/s (slope-timed — see bench.py for why), p50
+per-step solve latency, episode cost, and constraint violation (max box
+violation of the commanded controls; 0 == feasible).
+"""
+
+import json
+
+import numpy as np
+from _common import std_parser  # noqa: F401  (sys.path setup)
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from benchmarking_mpc_solvers_tpu.envs import (
+    CartPoleSwingUpEnv,
+    AcrobotEnv,
+    PendulumEnv,
+)
+from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig, run_episode
+from benchmarking_mpc_solvers_tpu.solvers import ILQR, MPPI, QPMPC, SQP
+from benchmarking_mpc_solvers_tpu.utils import slope_timer
+
+
+def violation(actions, lo, hi):
+    a = np.asarray(actions)
+    return float(np.maximum(np.maximum(a - hi, lo - a), 0.0).max())
+
+
+def report(name, solves_per_sec, p50_ms, cost, viol, extra=None):
+    print(
+        json.dumps(
+            {
+                "config": name,
+                "solves_per_sec": round(solves_per_sec, 1),
+                "p50_step_latency_ms": round(p50_ms, 4),
+                "episode_cost": round(cost, 2),
+                "constraint_violation": viol,
+                **(extra or {}),
+            }
+        )
+    )
+
+
+def episode_metrics(env, solver, cfg, B, quick, inner=None):
+    """Batched episodes: slope-timed solves/s + cost + feasibility.
+
+    The timed runs jitter x0 by a key-dependent 1e-3 perturbation —
+    deterministic solvers (QP/SQP) are otherwise key-independent and XLA
+    CSEs the n-repetition scan into a single episode, zeroing the slope.
+    """
+    x0s = jnp.tile(env.start_state, (B, 1))
+
+    def run(key, jitter=False):
+        keys = jax.random.split(key, B)
+        x0 = x0s + (1e-3 * jax.random.normal(key, x0s.shape) if jitter else 0.0)
+        res = jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
+        return res
+
+    def scalar_fn(key):
+        return run(key, jitter=True).costs.sum()
+
+    per_call = slope_timer(scalar_fn,
+                           inner_reps=inner or (3 if quick else 9),
+                           outer_reps=1 if quick else 3)
+    per_call = max(per_call, 1e-6)  # quick-mode slopes can be noise-negative
+    res = jax.jit(run)(jax.random.PRNGKey(0))
+    solves = B * cfg.n_steps / per_call
+    p50_ms = per_call / cfg.n_steps * 1e3
+    cost = float(np.median(np.asarray(res.costs.sum(axis=-1))))
+    viol = violation(res.true_actions, float(env.model.lo[0]), float(env.model.hi[0]))
+    return solves, p50_ms, cost, viol
+
+
+def main():
+    args = std_parser(__doc__).parse_args()
+    q = args.quick
+
+    # 1. pendulum linear MPC T=20, condensed dense ADMM (stable system)
+    env = PendulumEnv
+    solver = QPMPC(model=env.model, T=10 if q else 20, method="admm",
+                   iters=20 if q else 100)
+    cfg = EpisodeConfig(n_steps=5 if q else 50, record_plans=False)
+    # the batched dense-ADMM episode is faster than tunnel timing noise at
+    # small repetition counts; long inner scans make the slope resolvable
+    s, p, c, v = episode_metrics(env, solver, cfg, B=8 if q else 512, quick=q,
+                                 inner=None if q else 81)
+    report("pendulum linear MPC T=20 condensed ADMM", s, p, c, v)
+
+    # 2. cartpole stabilization, QP MPC T=50, box constraints, closed loop
+    env = CartPoleSwingUpEnv
+    solver = QPMPC(
+        model=env.model, T=10 if q else 50, iters=20 if q else 60,
+        goal_x=(0.0, 0.0, 0.0, 0.0),
+        Q=((0.5, 0, 0, 0), (0, 0.1, 0, 0), (0, 0, 5.0, 0), (0, 0, 0, 0.5)),
+        R=((0.1,),),
+    )
+    cfg = EpisodeConfig(n_steps=5 if q else 40, record_plans=False)
+    # perturbed near-upright starts
+    B = 8 if q else 256
+    x0s = jnp.tile(jnp.array([0.3, 0.0, 0.4, 0.0], jnp.float32), (B, 1))
+
+    def run2(key, jitter=False):
+        keys = jax.random.split(key, B)
+        x0 = x0s + (1e-3 * jax.random.normal(key, x0s.shape) if jitter else 0.0)
+        return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
+
+    per_call = max(slope_timer(lambda k: run2(k, True).costs.sum(),
+                                inner_reps=3 if q else 7, outer_reps=1 if q else 2), 1e-6)
+    res = jax.jit(run2)(jax.random.PRNGKey(0))
+    final_theta = float(np.abs(np.asarray(res.true_states[:, -1, 2])).max())
+    report(
+        "cartpole stabilization QP MPC T=50 box-constrained",
+        B * cfg.n_steps / per_call,
+        per_call / cfg.n_steps * 1e3,
+        float(np.median(np.asarray(res.costs.sum(axis=-1)))),
+        violation(res.true_actions, -1.0, 1.0),
+        {"max_final_pole_angle_rad": round(final_theta, 4)},
+    )
+
+    # 3. cartpole swing-up iLQR T=100, batched over 1k initial states
+    env = CartPoleSwingUpEnv
+    solver = ILQR(model=env.model, T=10 if q else 100,
+                  max_iter=1 if q else 5, threshold=1e-3, reference_accept=False)
+    cfg = EpisodeConfig(n_steps=3 if q else 20, warmstart=1 if q else 10,
+                        record_plans=False)
+    s, p, c, v = episode_metrics(env, solver, cfg, B=4 if q else 1024, quick=q)
+    report("cartpole swing-up iLQR T=100 batched 1k states", s, p, c, v)
+
+    # 4. acrobot NMPC via SQP, T=100
+    env = AcrobotEnv
+    solver = SQP(model=env.model, T=10 if q else 100, max_iter=2 if q else 6)
+    cfg = EpisodeConfig(n_steps=3 if q else 20, record_plans=False)
+    B4 = 4 if q else 128
+    x0s4 = jnp.tile(jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32), (B4, 1))
+
+    def run4(key, jitter=False):
+        keys = jax.random.split(key, B4)
+        x0 = x0s4 + (1e-3 * jax.random.normal(key, x0s4.shape) if jitter else 0.0)
+        return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
+
+    per_call = max(slope_timer(lambda k: run4(k, True).costs.sum(),
+                                inner_reps=3 if q else 5, outer_reps=1), 1e-6)
+    res = jax.jit(run4)(jax.random.PRNGKey(0))
+    report(
+        "acrobot NMPC SQP T=100",
+        B4 * cfg.n_steps / per_call,
+        per_call / cfg.n_steps * 1e3,
+        float(np.median(np.asarray(res.costs.sum(axis=-1)))),
+        violation(res.true_actions, -1.0, 1.0),
+    )
+
+    # 5. multi-solver sweep sharded over the device mesh
+    from benchmarking_mpc_solvers_tpu.parallel import make_mesh, shard_batch, sharded_episodes
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    env = CartPoleSwingUpEnv
+    B5 = 2 * n_dev if q else max(n_dev * 128, 1024)
+    rows = []
+    for name, solver in [
+        ("MPPI", MPPI(model=env.model, T=5 if q else 50, K=8 if q else 64)),
+        ("QPMPC", QPMPC(model=env.model, T=5 if q else 50, iters=10 if q else 50)),
+        ("ILQR", ILQR(model=env.model, T=5 if q else 50, max_iter=1 if q else 3,
+                      reference_accept=False)),
+    ]:
+        cfg = EpisodeConfig(n_steps=2 if q else 10, record_plans=False)
+        fn = sharded_episodes(env, solver, cfg, mesh)
+        keys = jax.random.split(jax.random.PRNGKey(0), B5)
+        x0s = jnp.tile(env.start_state, (B5, 1))
+        keys, x0s = shard_batch(mesh, (keys, x0s))
+        res = jax.block_until_ready(fn(keys, x0s))
+        rows.append((name, float(np.median(np.asarray(res.costs.sum(axis=-1))))))
+    report(
+        f"multi-solver sweep x {B5} scenarios sharded over {n_dev} device(s)",
+        0.0,
+        0.0,
+        rows[0][1],
+        0.0,
+        {"median_costs": {n: round(c, 1) for n, c in rows}},
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,8 @@ def main():
                 warmstart=warm,
             )
         )
-    if not args.no_plots:
+    results = [r for r in results if r is not None]
+    if not args.no_plots and results:
         import pathlib
 
         out = pathlib.Path(args.plots_dir) / "experiment_test"

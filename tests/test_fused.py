@@ -107,3 +107,58 @@ def test_run_episodes_fused_swings_up():
     want = run_episode(env, solver, cfg, keys[0], x0s[0])
     c_ref = float(np.asarray(want.costs).sum())
     assert abs(c[0].sum() - c_ref) < 0.5 * c_ref, (c[0].sum(), c_ref)
+
+
+def test_cem_solve_batch_matches_update_law():
+    """Batched fused CEM: elite selection + smoothing recomputed by hand
+    from the same key must match (single iteration)."""
+    import jax
+    from benchmarking_mpc_solvers_tpu.solvers import CEM
+
+    model = PendulumModel
+    solver = CEM(model=model, T=5, K=16, max_iter=1, n_elite=4, epsilon=1e-9,
+                 alpha=0.3, std=0.8)
+    B = 3
+    st = solver.init_state_batch(jax.random.split(jax.random.PRNGKey(5), B))
+    xs = jnp.float32(np.random.default_rng(1).uniform(-1, 1, (B, 2)))
+    g_z = jnp.zeros((5, 3), jnp.float32)
+    new_st, u0, _ = solver.solve_batch(st, xs, g_z)
+
+    # hand recompute scenario 2
+    k_sample, _ = jax.random.split(st.key[0])
+    noise_tm = jax.random.normal(k_sample, (5, B, 16), jnp.float32)
+    mean0 = st.planned_us[..., 0]
+    samples_tm = jnp.clip(mean0.T[:, :, None] + 0.8 * noise_tm, -2.0, 2.0)
+    b = 2
+    samples_b = jnp.transpose(samples_tm[:, b, :], (1, 0))[:, :, None]  # (K,T,1)
+    costs, _ = rollout_cost_samples(model, xs[b], samples_b, g_z)
+    elite = jnp.argsort(costs)[:4]
+    elites = samples_b[elite]  # (4, T, 1)
+    e_mean = elites.mean(axis=0)[:, 0]
+    e_std = elites.std(axis=0)[:, 0]
+    want_mean = 0.3 * mean0[b] + 0.7 * e_mean
+    np.testing.assert_allclose(np.asarray(new_st.planned_us[b, :, 0]), np.asarray(want_mean),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(u0[b]), np.asarray(want_mean[:1]), rtol=2e-4, atol=1e-5)
+
+
+def test_cem_fused_episode_runs():
+    import jax
+    from benchmarking_mpc_solvers_tpu.envs import PendulumEnv
+    from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig
+    from benchmarking_mpc_solvers_tpu.experiment.episode import run_episodes_fused
+    from benchmarking_mpc_solvers_tpu.solvers import CEM
+
+    env = PendulumEnv
+    # CEM needs the reference's warm-start regime (50 pre-episode solves,
+    # sample_test.py) to make closed-loop progress on the swing-up
+    solver = CEM(model=env.model, T=25, K=64, max_iter=1, n_elite=16,
+                 epsilon=1e-5, alpha=0.2, std=1.0)
+    cfg = EpisodeConfig(n_steps=50, warmstart=50, record_plans=True)
+    B = 2
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    x0s = jnp.tile(env.start_state, (B, 1))
+    res = jax.jit(lambda k, x: run_episodes_fused(env, solver, cfg, k, x))(keys, x0s)
+    c = np.asarray(res.costs)
+    assert np.all(np.isfinite(c))
+    assert (c[:, -5:].mean(axis=1) < c[:, :5].mean(axis=1)).all()

@@ -102,3 +102,23 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+@requires_multi
+def test_global_stats_psum():
+    from benchmarking_mpc_solvers_tpu.parallel import global_stats
+
+    mesh = make_mesh(8, axes=("batch",))
+    vals = jnp.arange(32, dtype=jnp.float32)
+    from benchmarking_mpc_solvers_tpu.parallel import shard_batch
+
+    (vals_s,) = shard_batch(mesh, (vals,))
+    mean, vmin, vmax = global_stats(vals_s, mesh)
+    np.testing.assert_allclose(float(mean), 15.5, rtol=1e-6)
+    assert float(vmin) == 0.0 and float(vmax) == 31.0
+
+
+def test_distributed_init_noop_single_process():
+    from benchmarking_mpc_solvers_tpu.parallel import distributed_init
+
+    assert distributed_init(num_processes=1) is False
