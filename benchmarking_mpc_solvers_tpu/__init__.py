@@ -20,4 +20,4 @@ from .models import (  # noqa: F401
     PendulumModel,
     make_linear_model,
 )
-from .solvers import CEM, ILQR, MPPI, QPMPC, SQP  # noqa: F401
+from .solvers import CEM, I2C, ILQR, MPPI, QPMPC, SQP  # noqa: F401

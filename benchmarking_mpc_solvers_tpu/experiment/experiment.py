@@ -28,10 +28,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..envs.env import Env, NoiseConfig, REGISTRY as ENV_REGISTRY
-from ..solvers import CEM, ILQR, MPPI, QPMPC, SQP
+from ..solvers import CEM, I2C, ILQR, MPPI, QPMPC, SQP
 from .episode import EpisodeConfig, run_episode
 
-SOLVER_REGISTRY = {"CEM": CEM, "MPPI": MPPI, "ILQR": ILQR, "QPMPC": QPMPC, "SQP": SQP}
+SOLVER_REGISTRY = {"CEM": CEM, "MPPI": MPPI, "ILQR": ILQR, "QPMPC": QPMPC, "SQP": SQP, "I2C": I2C}
 
 # reference param name -> our field name, per solver
 _PARAM_MAP = {
@@ -42,6 +42,8 @@ _PARAM_MAP = {
              "closed_loop": "closed_loop"},
     "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho"},
     "SQP": {"T": "T", "max_iter": "max_iter"},
+    "I2C": {"T": "T", "max_iter": "max_iter", "alpha0": "alpha0",
+            "sigma_u": "sigma_u"},
 }
 
 

@@ -1,0 +1,156 @@
+"""i2c — Input Inference for Control (optimal control as Gaussian inference).
+
+The reference intended a fourth solver family built on its Kalman /
+cubature / quadrature estimation stack but never finished it
+(``MPCBenchmark/agents/i2c.py`` is a 0-byte file; the building blocks live
+in ``MPCBenchmark/i2c/``). This is a working implementation of the
+linear-Gaussian i2c recursion (Watson, Abdulsamad & Peters' input-inference
+formulation): trajectory optimization as iterated Bayesian smoothing.
+
+Formulation per iteration, around the current nominal (x̄, ū):
+
+- augmented latent ξ_t = (x_t, u_t) with dynamics prior
+      ξ_{t+1} = F_t ξ_t + m_t + w,  F_t = [[A_t, B_t], [0, 0]],
+      m_t = (c_t, ū_t),  w ~ N(0, blockdiag(εI, Σ_u)),
+  i.e. the control is an independent latent with prior N(ū_t, Σ_u)
+  (linearization A_t, B_t, c_t from ``ops/linearize``).
+- "optimality" pseudo-observation of the cost features:
+      y_t = g_t observed through z(ξ) ≈ J_t ξ + z0_t with Gaussian noise
+      R = (2α W̃)⁻¹,  W̃ = W + εI — the exp(−α·cost) likelihood moment-matched
+      at the linearization point; α is the annealing temperature.
+- a time-varying Kalman filter + RTS smoother over ξ gives the posterior;
+  the smoothed control means become the next nominal: ū ← E[u | y=g].
+
+As α → ∞ on an LQ problem the fixed point is the LQR optimum (validated in
+tests); on nonlinear systems the iteration is a Gauss-Newton-like method
+with built-in exploration covariances. Everything is scans over the
+horizon under jit, vmappable over scenarios, f32-precision guarded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linearize import linearize_dynamics
+from ..ops.rollout import rollout
+from .base import Solver
+
+
+class I2CState(NamedTuple):
+    planned_us: jnp.ndarray  # (T, A) nominal controls
+    key: jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True, eq=False)
+class I2C(Solver):
+    max_iter: int = 10
+    alpha0: float = 1.0  # initial optimality temperature
+    anneal: float = 1.5  # per-iteration temperature growth
+    alpha_max: float = 100.0  # cap: in f32 the (2αW)⁻¹ observation noise
+    # degenerates past ~1e2 and the smoother walks away from the optimum
+    sigma_u: float = 0.5  # control prior std
+    eps_w: float = 1e-5  # cost-weight ridge (W is usually singular)
+    eps_x: float = 1e-6  # state process-noise floor
+
+    def init_state(self, key) -> I2CState:
+        return I2CState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
+
+    # -- one smoothing iteration ------------------------------------------------
+    def _smooth_once(self, x0, us, g_z, alpha):
+        model = self.model
+        S, A = model.state_size, model.action_size
+        D = S + A
+        T = self.T
+
+        xs, _ = rollout(model, x0, us, g_z)
+        dyn = linearize_dynamics(model, xs[:-1], us)
+
+        # feature observation model z(ξ) ≈ J ξ + z0 at the nominal
+        def z_lin(x, u):
+            xu = jnp.concatenate([x, u])
+
+            def zf(v):
+                return model.transform(v[:S], v[S:])
+
+            J = jax.jacfwd(zf)(xu)
+            z0 = zf(xu) - J @ xu
+            return J, z0
+
+        Js, z0s = jax.vmap(z_lin)(xs[:-1], us)  # (T, Z, D), (T, Z)
+
+        W = jnp.asarray(model.state_cost.W, jnp.float32)
+        Z = W.shape[0]
+        R = jnp.linalg.inv(2.0 * alpha * (W + self.eps_w * jnp.eye(Z)))
+
+        Q_proc = jnp.zeros((D, D), jnp.float32)
+        Q_proc = Q_proc.at[:S, :S].set(self.eps_x * jnp.eye(S))
+        Q_proc = Q_proc.at[S:, S:].set(self.sigma_u**2 * jnp.eye(A))
+
+        F = jnp.zeros((T, D, D), jnp.float32)
+        F = F.at[:, :S, :S].set(dyn.A).at[:, :S, S:].set(dyn.B)
+        m = jnp.concatenate([dyn.c, us], axis=1)  # (T, D); ū as control prior mean
+
+        # prior at t=0: x0 known (tight), u_0 ~ N(ū_0, Σ_u)
+        mu0 = jnp.concatenate([x0, us[0]])
+        sig0 = jnp.zeros((D, D), jnp.float32)
+        sig0 = sig0.at[:S, :S].set(1e-8 * jnp.eye(S))
+        sig0 = sig0.at[S:, S:].set(self.sigma_u**2 * jnp.eye(A))
+
+        def update(mu_p, sig_p, J, z0, g):
+            sig_y = J @ sig_p @ J.T + R
+            L = jnp.linalg.solve(sig_y.T, (sig_p @ J.T).T).T
+            mu_f = mu_p + L @ (g - (J @ mu_p + z0))
+            sig_f = sig_p - L @ J @ sig_p
+            return mu_f, 0.5 * (sig_f + sig_f.T)
+
+        # forward filter over t = 0..T-1 (observation then predict)
+        def fstep(carry, inp):
+            mu_p, sig_p = carry
+            F_t, m_t, J_t, z0_t, g_t = inp
+            mu_f, sig_f = update(mu_p, sig_p, J_t, z0_t, g_t)
+            mu_n = F_t @ mu_f + m_t
+            sig_n = F_t @ sig_f @ F_t.T + Q_proc
+            return (mu_n, sig_n), (mu_f, sig_f, mu_n, sig_n)
+
+        (_, _), (mu_f, sig_f, mu_pred, sig_pred) = lax.scan(
+            fstep, (mu0, sig0), (F, m, Js, z0s, g_z)
+        )
+
+        # backward RTS over the augmented chain
+        def bstep(carry, inp):
+            mu_next, sig_next = carry
+            mu_ft, sig_ft, mu_pt, sig_pt, F_t = inp
+            G = jnp.linalg.solve(sig_pt.T, (sig_ft @ F_t.T).T).T
+            mu_s = mu_ft + G @ (mu_next - mu_pt)
+            sig_s = sig_ft + G @ (sig_next - sig_pt) @ G.T
+            return (mu_s, sig_s), mu_s
+
+        init = (mu_f[-1], sig_f[-1])
+        per_t = (mu_f[:-1], sig_f[:-1], mu_pred[:-1], sig_pred[:-1], F[:-1])
+        (_, _), mu_s = lax.scan(bstep, init, per_t, reverse=True)
+        mu_smooth = jnp.concatenate([mu_s, mu_f[-1][None]], axis=0)  # (T, D)
+        return mu_smooth[:, S:]  # smoothed control means
+
+    def solve(self, state: I2CState, x, g_z):
+        model = self.model
+        with jax.default_matmul_precision("highest"):
+
+            def body(carry, _):
+                us, alpha = carry
+                us_new = self._smooth_once(x, us, g_z, alpha)
+                us_new = jnp.clip(us_new, model.lo, model.hi)
+                alpha = jnp.minimum(alpha * self.anneal, self.alpha_max)
+                return (us_new, alpha), None
+
+            (us, _), _ = lax.scan(
+                body,
+                (state.planned_us, jnp.float32(self.alpha0)),
+                None,
+                length=self.max_iter,
+            )
+        return I2CState(us, state.key), us[0], {}
