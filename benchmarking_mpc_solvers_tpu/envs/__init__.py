@@ -9,4 +9,9 @@ from .env import (  # noqa: F401
     env_step,
 )
 from .render import render_episode, render_state  # noqa: F401
-from .gym_wrapper import GymEnvModel, GymWrapperEnv, HAVE_GYMNASIUM  # noqa: F401
+from .gym_wrapper import (  # noqa: F401
+    GymEnvModel,
+    GymWrapperEnv,
+    HAVE_GYMNASIUM,
+    MujocoWrapperEnv,
+)

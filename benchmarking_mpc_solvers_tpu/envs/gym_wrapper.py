@@ -87,6 +87,67 @@ class GymWrapperEnv:
         self.env.close()
 
 
+class MujocoWrapperEnv(GymWrapperEnv):
+    """Closed-loop plant backed by a gymnasium MuJoCo env — capability parity
+    with the reference's mujoco-py wrapper (``envs/mujym_wrapper.py:7-45``),
+    which tracked the full simulator state via ``env.sim.get_state()`` in its
+    history rather than the observation.
+
+    The modern MuJoCo bindings expose the physics state as
+    ``unwrapped.data.qpos / qvel``; ``true_state`` here is their
+    concatenation (observations may hide coordinates, e.g. x of a hopper),
+    while ``state`` remains the observation — mirroring the reference's
+    state/observation split. Raises on out-of-bounds actions like the
+    reference (``mujym_wrapper.py`` bounds check).
+    """
+
+    def __init__(self, env_or_id: Any, seed: Optional[int] = None):
+        super().__init__(env_or_id, seed=seed)
+        data = getattr(self.env.unwrapped, "data", None)
+        if data is None or not hasattr(data, "qpos"):
+            raise TypeError(
+                f"{self.env} does not expose MuJoCo physics state "
+                "(unwrapped.data.qpos); use GymWrapperEnv instead"
+            )
+        self.name = f"MujocoWrapper({self.env.spec.id if self.env.spec else 'env'})"
+
+    def _physics_state(self) -> np.ndarray:
+        d = self.env.unwrapped.data
+        return np.concatenate(
+            [np.asarray(d.qpos).ravel(), np.asarray(d.qvel).ravel()]
+        ).astype(np.float32)
+
+    def reset(self, state: Optional[np.ndarray] = None):
+        obs, _info = self.env.reset(seed=self._seed)
+        if state is not None:
+            nq = self.env.unwrapped.model.nq
+            state = np.asarray(state, np.float64)
+            self.env.unwrapped.set_state(state[:nq], state[nq:])
+        self.state = np.asarray(obs, np.float32)
+        self.true_state = self._physics_state()
+        self.history = []
+        return self.true_state
+
+    def step(self, u):
+        u = np.asarray(u)
+        space = self.env.action_space
+        if np.any(u < space.low) or np.any(u > space.high):
+            raise ValueError(f"action {u} outside bounds [{space.low}, {space.high}]")
+        obs, reward, terminated, truncated, _info = self.env.step(u)
+        self.state = np.asarray(obs, np.float32)
+        self.true_state = self._physics_state()
+        self.history.append(
+            {
+                "state": self.state,
+                "true_state": self.true_state,
+                "action": u,
+                "true_action": u,
+                "cost": -float(reward),
+            }
+        )
+        return self.true_state, float(reward), bool(terminated or truncated), {}
+
+
 class GymEnvModel:
     """Planning model backed by a live gymnasium env (reference
     ``models/gym_model.py``): prediction = set simulator state, step once.

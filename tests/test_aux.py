@@ -54,6 +54,25 @@ def test_gym_wrapper_records_history():
     env.close()
 
 
+@pytest.mark.skipif(not HAVE_GYMNASIUM, reason="gymnasium not installed")
+def test_mujoco_wrapper_tracks_physics_state():
+    pytest.importorskip("mujoco")
+    from benchmarking_mpc_solvers_tpu.envs import MujocoWrapperEnv
+
+    env = MujocoWrapperEnv("InvertedPendulum-v5", seed=0)
+    s = env.reset()
+    assert s.shape == (4,)  # qpos(2) + qvel(2), the full physics state
+    env.step(np.array([0.5]))
+    assert len(env.history) == 1
+    assert env.history[0]["true_state"].shape == (4,)
+    # reset to an exact physics state
+    s2 = env.reset(np.array([0.0, 0.1, 0.0, 0.0]))
+    np.testing.assert_allclose(s2, [0.0, 0.1, 0.0, 0.0], atol=1e-6)
+    with pytest.raises(ValueError):
+        env.step(np.array([99.0]))
+    env.close()
+
+
 def test_run_logger(tmp_path):
     log = RunLogger(path=str(tmp_path / "m.jsonl"), verbose=False)
     for i in range(4):
