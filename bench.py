@@ -4,9 +4,11 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Metric definition (BASELINE.json): full MPC solve steps per second per chip
-— each solve is one MPPI predict_action (K fused-Pallas rollout evaluations
-of horizon T=50 + softmax update) plus the plant step, in a batched
-closed-loop simulation on the fused episode path.
+— each solve is one MPPI predict_action (K rollout evaluations of horizon
+T=50 + softmax update) plus the plant step, in a batched closed-loop
+simulation on the fused episode path. The MPPI update runs as ONE Pallas
+kernel per MPC step (in-kernel RNG + rollouts + softmax + plan update,
+``ops/fused_mppi.py``) — no (B·K)-sized HBM arrays.
 
 Timing method: device time is measured as the slope between jitted calls
 that run 1 vs R episode batches internally (fresh PRNG-folded inputs per

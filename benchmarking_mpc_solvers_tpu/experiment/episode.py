@@ -117,17 +117,24 @@ def run_episodes_batch(env: Env, solver: Solver, cfg: EpisodeConfig, keys, x0s):
 
 
 def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
-    """Batched closed-loop episodes on the fused Pallas rollout path.
+    """Batched closed-loop episodes on the fused Pallas path.
 
     Requires a solver exposing ``solve_batch`` / ``init_state_batch``
     (currently MPPI): the B scenarios' K-sample rollouts flatten into one
     Pallas kernel launch per MPC step instead of a vmapped scan — the
-    headline solves/s path (bench.py). Semantics match ``run_episode`` with
-    resampled perturbations; plans/warm-start recording are not materialized
-    (use the generic path when you need them).
+    headline solves/s path (bench.py). When the solver additionally exposes
+    the single-kernel time-major step (``solve_batch_tm`` + ``kernel_ok``,
+    MPPI on TPU), the *entire* MPPI update — RNG, rollouts, softmax, plan
+    update — runs as one kernel per MPC step with no (B·K)-sized HBM
+    arrays (``ops/fused_mppi.py``; ~2.3x the two-stage path). Semantics
+    match ``run_episode`` with resampled perturbations; plans/warm-start
+    recording are not materialized (use the generic path when you need
+    them).
     """
     model = env.model
     B = x0s.shape[0]
+    if getattr(solver, "kernel_ok", None) and solver.kernel_ok():
+        return _run_episodes_kernel(env, solver, cfg, keys, x0s)
     goal = (
         jnp.zeros((model.goal_size,), jnp.float32)
         if cfg.goal_state is None
@@ -170,6 +177,77 @@ def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
     keys_t = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(k_env)
     keys_t = jnp.swapaxes(keys_t, 0, 1)  # (N, B, key)
     (_, _, _), recs = jax.lax.scan(step, (sstates, x0s, x0s), keys_t)
+    obs, true_states, actions, true_actions, costs, dones = recs
+    return EpisodeResult(
+        observations=jnp.swapaxes(obs, 0, 1),
+        true_states=jnp.concatenate(
+            [x0s[:, None], jnp.swapaxes(true_states, 0, 1)], axis=1
+        ),
+        actions=jnp.swapaxes(actions, 0, 1),
+        true_actions=jnp.swapaxes(true_actions, 0, 1),
+        costs=jnp.swapaxes(costs, 0, 1),
+        dones=jnp.swapaxes(dones, 0, 1),
+        planned_states=None,
+        planned_actions=None,
+        planned_costs=None,
+        warmstart_trajectories=None,
+    )
+
+
+def _run_episodes_kernel(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
+    """Single-kernel episode path: one ``solve_batch_tm`` launch per MPC
+    step, plan state carried time-major (T, B) so no per-step transposes of
+    the big array; only the (B, S) states transpose each step (a few KB)."""
+    model = env.model
+    B = x0s.shape[0]
+    goal = (
+        jnp.zeros((model.goal_size,), jnp.float32)
+        if cfg.goal_state is None
+        else jnp.asarray(cfg.goal_state, jnp.float32)
+    )
+    g_z = jnp.broadcast_to(goal, (solver.T, model.goal_size))
+    lo, hi = float(model.bounds_low[0]), float(model.bounds_high[0])
+
+    k_all = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+    k_env = k_all[:, 1]
+    # solver noise comes from the kernel's on-core PRNG: one fresh int32
+    # seed per solver invocation (warm-start iterations + episode steps)
+    seeds = jax.random.randint(
+        k_all[0, 0], (cfg.warmstart + cfg.n_steps,), -(2**31), 2**31 - 1, jnp.int32
+    )
+
+    planned_tm = jnp.zeros((solver.T, B), jnp.float32)
+    x0s_tm = x0s.T
+
+    def warm(planned_tm, seed):
+        planned_tm, _ = solver.solve_batch_tm(planned_tm, x0s_tm, g_z, seed)
+        return jnp.clip(planned_tm, lo, hi), None
+
+    if cfg.warmstart > 0:
+        planned_tm, _ = jax.lax.scan(warm, planned_tm, seeds[: cfg.warmstart])
+
+    batched_env_step = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))
+
+    def step(carry, inputs):
+        planned_tm, x_true, obs = carry
+        keys_t, seed = inputs
+        planned_tm, u0s = solver.solve_batch_tm(planned_tm, obs.T, g_z, seed)
+        planned_tm = jnp.clip(planned_tm, lo, hi)
+        if cfg.record_plans:
+            # receding-horizon shift (agent.py:72-73), time-major
+            planned_next = jnp.roll(planned_tm, -1, axis=0).at[-1].set(0.0)
+        else:
+            planned_next = planned_tm
+        actions = jnp.clip(u0s, lo, hi)[:, None]  # (B, A=1)
+        es = batched_env_step(keys_t, x_true, actions)
+        rec = (es.observation, es.true_state, es.action, es.true_action, es.cost, es.done)
+        return (planned_next, es.true_state, es.observation), rec
+
+    keys_t = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(k_env)
+    keys_t = jnp.swapaxes(keys_t, 0, 1)  # (N, B, key)
+    _, recs = jax.lax.scan(
+        step, (planned_tm, x0s, x0s), (keys_t, seeds[cfg.warmstart :])
+    )
     obs, true_states, actions, true_actions, costs, dones = recs
     return EpisodeResult(
         observations=jnp.swapaxes(obs, 0, 1),

@@ -57,13 +57,45 @@ def _u01(shape):
     )
 
 
-def _std_normal(lanes: int):
-    """(8, lanes) Box-Muller standard normals (two uint32 draws each)."""
-    u = _u01((2 * SUBLANES, lanes))
+def _box_muller(u: jnp.ndarray) -> jnp.ndarray:
+    """(2*8, lanes) uniforms in [0,1) -> (8, lanes) standard normals."""
     u1 = u[:SUBLANES] + 1e-7  # strictly positive for the log
     u2 = u[SUBLANES:]
     r = jnp.sqrt(-2.0 * jnp.log(u1))
     return r * jnp.cos(2.0 * jnp.float32(np.pi) * u2)
+
+
+def _std_normal(lanes: int):
+    """(8, lanes) Box-Muller standard normals (two uint32 draws each)."""
+    return _box_muller(_u01((2 * SUBLANES, lanes)))
+
+
+def interp_normals(seed_c, t, lanes: int):
+    """Interpret-mode noise: counter-based (murmur3-finalizer) normals as a
+    pure function of (combined seed, timestep, element index).
+
+    The TPU path's stateful on-core PRNG (seeded per sample k, advanced per
+    timestep) is unavailable off-TPU (``prng_seed`` has no CPU lowering), so
+    interpret mode uses this stateless equivalent. Being a plain-jnp pure
+    function, tests can call it *outside* the kernel to reproduce the exact
+    noise stream and check the whole MPPI update closed-form
+    (tests/test_fused.py).
+    """
+    idx = jax.lax.broadcasted_iota(jnp.uint32, (2 * SUBLANES, lanes), 0) * jnp.uint32(
+        lanes
+    ) + jax.lax.broadcasted_iota(jnp.uint32, (2 * SUBLANES, lanes), 1)
+    x = (
+        jnp.asarray(seed_c).astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+        + jnp.asarray(t).astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+        + idx
+    )
+    x ^= x >> 16
+    x *= jnp.uint32(0x7FEB352D)
+    x ^= x >> 15
+    x *= jnp.uint32(0x846CA68B)
+    x ^= x >> 16
+    u = (x >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+    return _box_muller(u)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
@@ -101,6 +133,8 @@ def fused_mppi_step(
     x0_p = x0_tm.reshape(S, SUBLANES, Bp // SUBLANES)
     inv_var = 1.0 / (std * std)
 
+    interpret = jax.default_backend() != "tpu"
+
     def kernel(seed_ref, gz_ref, x0_ref, plan_ref, out_ref, cost_vmem):
         pid = pl.program_id(0)
         x0 = x0_ref[:]  # (S, 8, TL)
@@ -109,14 +143,25 @@ def fused_mppi_step(
             # distinct stream per (step seed, sample k, grid program);
             # multi-arg prng_seed crashes the Mosaic backend, so combine
             # into one scalar with large odd strides
-            pltpu.prng_seed(seed_ref[0] + k * 7919 + pid * 104729)
+            if not interpret:
+                pltpu.prng_seed(seed_ref[0] + k * 7919 + pid * 104729)
+
+        def noise(k, t):
+            # TPU: stateful on-core PRNG, seeded by seed_for(k), one draw
+            # per timestep. Interpret: the stateless counter-based
+            # equivalent (reproducible outside the kernel for tests).
+            if interpret:
+                return interp_normals(
+                    seed_ref[0] + k * 7919 + pid * 104729, t, lanes
+                )
+            return _std_normal(lanes)
 
         def rollout_cost(k, _):
             seed_for(k)
 
             def body(t, carry):
                 x, acc = carry
-                d = _std_normal(lanes)  # (8, TL) δ_t / std
+                d = noise(k, t)  # (8, TL) δ_t / std
                 u = plan_ref[pl.ds(t, 1)] + std * d  # (1, 8, TL)
                 z = model.transform(x, u)
                 c = jnp.zeros((SUBLANES, lanes), jnp.float32)
@@ -153,7 +198,7 @@ def fused_mppi_step(
             w_k = cost_vmem[pl.ds(k, 1)][0]  # (8, TL)
 
             def body(t, _):
-                d = _std_normal(lanes)
+                d = noise(k, t)
                 out_ref[pl.ds(t, 1)] += (w_k * (std * d))[None]
                 return 0
 

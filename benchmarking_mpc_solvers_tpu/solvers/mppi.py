@@ -155,3 +155,32 @@ class MPPI(Solver):
 
         new_state = MPPIState(planned, state.delta_u, key)
         return new_state, planned[:, 0], {"sample_costs": costs}
+
+    def kernel_ok(self) -> bool:
+        """True when the single-kernel MPPI step applies: scalar action and
+        a quad_cost stage cost (the shapes ``ops/fused_mppi.py`` handles)."""
+        return self.model.action_size == 1 and hasattr(self.model.state_cost, "W")
+
+    def solve_batch_tm(self, planned_tm, xs_tm, g_z, seed):
+        """One MPPI step for B scenarios as a single Pallas kernel launch —
+        in-kernel RNG, rollouts, softmax and plan update with no (B·K)-sized
+        HBM arrays (``ops/fused_mppi.py``). Time-major plan state.
+
+        Args:
+          planned_tm: (T, B) current plans (action_size == 1).
+          xs_tm: (S, B) current states.
+          g_z: (T, Z) goal features.
+          seed: int32 scalar; vary per MPC step for fresh noise
+            (= ``resample=True`` semantics; the noise stream is the
+            kernel's own, like ``solve_batch``'s differs from ``solve``'s).
+
+        Returns (new_planned_tm, u0s): (T, B) updated plans, (B,) first
+        actions (unclipped — callers clip like ``agent.py:64-65,76``).
+        """
+        from ..ops.fused_mppi import fused_mppi_step
+
+        lanes = 512 if planned_tm.shape[1] >= 4096 else 128
+        planned = fused_mppi_step(
+            self.model, self.K, self.std, self.lam, lanes, planned_tm, xs_tm, g_z, seed
+        )
+        return planned, planned[0]
