@@ -23,7 +23,15 @@ where behavioral):
 - full cost Hessian blocks instead of the reference's diagonal-only
   l_xx/l_uu vectors and elementwise Q_uu inverse (``ilqr.py:24-27,324-325``
   — only valid for scalar actions); our recursion is the standard matrix
-  form, exact for the scalar-action case too.
+  form, exact for the scalar-action case too. ``diag_hessian=True``
+  switches the backward pass to an exact replica of the reference
+  numerics — diagonal-only cost Hessians (``ilqr.py:24-27``), the
+  ``hess[-1, :S]`` l_ux row (``ilqr.py:27``), elementwise ``Q_uu**-1``
+  gains (``ilqr.py:324-325``), and the terminal step's vector-V_xx
+  broadcasting (``ilqr.py:269,289-307`` keep the terminal Hessian as a
+  diagonal *vector*, so the first recursion step contracts a vector and
+  the l_xx row is broadcast-added before symmetrization). Scalar-action
+  models only, like the reference.
 - forward-pass stage costs use the goal trajectory g_z; the reference's
   forward pass dropped the goal (``ilqr.py:349`` calls predict without
   goal), identical in all shipped experiments since goals are zero.
@@ -72,6 +80,7 @@ class ILQR(Solver):
     delta_zero: float = 2.0
     n_alphas: int = 10
     reference_accept: bool = True
+    diag_hessian: bool = False  # True = reference's diag-Hessian numerics
 
     # -- state ----------------------------------------------------------------
     def init_state(self, key) -> ILQRState:
@@ -161,6 +170,82 @@ class ILQR(Solver):
         _, (ks, Ks, oks) = lax.scan(step, init, per_t, reverse=True)
         return ks, Ks, jnp.all(oks)
 
+    # -- reference-numerics backward pass (diag_hessian compat) ----------------
+    def backward_pass_ref(self, d: _Derivs, mu):
+        """Replicates ``MPCBenchmark/agents/ilqr.py:280-333`` numerically.
+
+        The reference keeps only cost-Hessian diagonals (as vectors) and the
+        ``hess[-1, :S]`` cross row (``ilqr.py:24-27``), inverts Q_uu
+        elementwise (``ilqr.py:324-325``), and initializes ``V_xx`` with the
+        terminal *diagonal vector* (``ilqr.py:269,289-290``) — so the first
+        recursion step contracts a vector (yielding a row for Q_xx) and every
+        step broadcast-adds the l_xx/l_uu/l_ux rows before symmetrization.
+        Exact only for scalar actions, like the reference.
+        """
+        if self.model.action_size != 1:
+            raise ValueError("diag_hessian compat mode is scalar-action only")
+        S = self.model.state_size
+        eye_s = jnp.eye(S, dtype=jnp.float32)
+        lxx_diag = jnp.diagonal(d.l_xx, axis1=-2, axis2=-1)  # (T+1, S)
+        luu_diag = jnp.diagonal(d.l_uu, axis1=-2, axis2=-1)  # (T, A)
+        lux_row = d.l_ux[:, -1, :]  # (T, S): reference keeps hess[-1, :S]
+
+        def gains(Q_u, Q_uu, Q_ux):
+            Q_uu_inv = Q_uu**-1  # elementwise, = true inverse only for A=1
+            return -Q_uu_inv @ Q_u, -Q_uu_inv @ Q_ux
+
+        # peeled terminal-adjacent step: V_xx is still the diagonal *vector*
+        t = -1
+        V_x, v_xx = d.l_x[-1], lxx_diag[-1]
+        f_x, f_u = d.f_x[t], d.f_u[t]
+        Q_x = d.l_x[t - 1] + f_x.T @ V_x
+        Q_u = d.l_u[t] + f_u.T @ V_x
+        q_xx_row = lxx_diag[t - 1] + (f_x.T @ v_xx) @ f_x  # (S,)
+        V_reg = v_xx[None, :] + mu * eye_s  # vector+matrix broadcast
+        Q_uu = luu_diag[t][None, :] + f_u.T @ V_reg @ f_u
+        Q_ux = lux_row[t][None, :] + f_u.T @ V_reg @ f_x
+        k_last, K_last = gains(Q_u, Q_uu, Q_ux)
+        V_x = Q_x + K_last.T @ Q_uu @ k_last + K_last.T @ Q_u + Q_ux.T @ k_last
+        V_xx = q_xx_row[None, :] + (
+            K_last.T @ Q_uu @ K_last + K_last.T @ Q_ux + Q_ux.T @ K_last
+        )
+        V_xx = 0.5 * (V_xx + V_xx.T)
+
+        def step(carry, inp):
+            V_x, V_xx = carry
+            l_x, l_u, lxx_d, luu_d, lux_r, f_x, f_u = inp
+            V_reg = V_xx + mu * eye_s
+            Q_x = l_x + f_x.T @ V_x
+            Q_u = l_u + f_u.T @ V_x
+            Q_uu = luu_d[None, :] + f_u.T @ V_reg @ f_u
+            Q_ux = lux_r[None, :] + f_u.T @ V_reg @ f_x
+            k, K = gains(Q_u, Q_uu, Q_ux)
+            V_x = Q_x + K.T @ Q_uu @ k + K.T @ Q_u + Q_ux.T @ k
+            V_xx = (
+                lxx_d[None, :]
+                + f_x.T @ V_xx @ f_x
+                + K.T @ Q_uu @ K
+                + K.T @ Q_ux
+                + Q_ux.T @ K
+            )
+            V_xx = 0.5 * (V_xx + V_xx.T)
+            return (V_x, V_xx), (k, K)
+
+        per_t = (
+            d.l_x[:-2],
+            d.l_u[:-1],
+            lxx_diag[:-2],
+            luu_diag[:-1],
+            lux_row[:-1],
+            d.f_x[:-1],
+            d.f_u[:-1],
+        )
+        _, (ks, Ks) = lax.scan(step, (V_x, V_xx), per_t, reverse=True)
+        ks = jnp.concatenate([ks, k_last[None]], axis=0)
+        Ks = jnp.concatenate([Ks, K_last[None]], axis=0)
+        # the reference's elementwise inverse never raises (ilqr.py:319-325)
+        return ks, Ks, jnp.bool_(True)
+
     # -- forward pass ----------------------------------------------------------
     def forward_pass(self, alpha, ks, Ks, xs, us, g_z):
         model = self.model
@@ -211,7 +296,8 @@ class ILQR(Solver):
             mu = jnp.clip(mu, self.mu_min, self.mu_max)
             xs, cost = simulate_trajectory(model, x, us, g_z)
             d = self.derivatives(xs, us, g_z)
-            ks, Ks, bp_ok = self.backward_pass(d, mu)
+            bp = self.backward_pass_ref if self.diag_hessian else self.backward_pass
+            ks, Ks, bp_ok = bp(d, mu)
 
             us_c = jnp.clip(us, model.lo, model.hi)
             fwd = jax.vmap(lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z))

@@ -160,13 +160,17 @@ def main():
     )
 
     # 5. multi-solver sweep sharded over the device mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from benchmarking_mpc_solvers_tpu.parallel import make_mesh, shard_batch, sharded_episodes
 
     n_dev = len(jax.devices())
     mesh = make_mesh(n_dev)
     env = CartPoleSwingUpEnv
     B5 = 2 * n_dev if q else max(n_dev * 128, 1024)
-    rows = []
+    spec = NamedSharding(mesh, P("batch"))
+    x0s_base = jnp.tile(env.start_state, (B5, 1))
+    rows, sps, lat = [], {}, []
     for name, solver in [
         ("MPPI", MPPI(model=env.model, T=5 if q else 50, K=8 if q else 64)),
         ("QPMPC", QPMPC(model=env.model, T=5 if q else 50, iters=10 if q else 50)),
@@ -176,17 +180,33 @@ def main():
         cfg = EpisodeConfig(n_steps=2 if q else 10, record_plans=False)
         fn = sharded_episodes(env, solver, cfg, mesh)
         keys = jax.random.split(jax.random.PRNGKey(0), B5)
-        x0s = jnp.tile(env.start_state, (B5, 1))
-        keys, x0s = shard_batch(mesh, (keys, x0s))
+        keys, x0s = shard_batch(mesh, (keys, x0s_base))
         res = jax.block_until_ready(fn(keys, x0s))
         rows.append((name, float(np.median(np.asarray(res.costs.sum(axis=-1))))))
+
+        def scalar(k, solver=solver, cfg=cfg):
+            ks = jax.lax.with_sharding_constraint(jax.random.split(k, B5), spec)
+            x0 = jax.lax.with_sharding_constraint(
+                x0s_base + 1e-3 * jax.random.normal(k, x0s_base.shape), spec
+            )
+            ep = jax.vmap(lambda kk, xx: run_episode(env, solver, cfg, kk, xx))(ks, x0)
+            return ep.costs.sum()
+
+        per = max(
+            slope_timer(scalar, inner_reps=2 if q else 5, outer_reps=1), 1e-6
+        )
+        sps[name] = round(B5 * cfg.n_steps / per, 1)
+        lat.append(per / cfg.n_steps * 1e3)
     report(
         f"multi-solver sweep x {B5} scenarios sharded over {n_dev} device(s)",
-        0.0,
-        0.0,
+        sum(sps.values()) / len(sps),
+        float(np.median(lat)),
         rows[0][1],
         0.0,
-        {"median_costs": {n: round(c, 1) for n, c in rows}},
+        {
+            "median_costs": {n: round(c, 1) for n, c in rows},
+            "solves_per_sec_by_solver": sps,
+        },
     )
 
 

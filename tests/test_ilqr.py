@@ -108,3 +108,85 @@ def test_ilqr_derivatives_match_fd():
         fd = (c(xu + e) - c(xu - e)) / (2 * eps)
         grad = np.concatenate([np.asarray(d.l_x[t]), np.asarray(d.l_u[t])])
         np.testing.assert_allclose(grad[i], fd, rtol=1e-2, atol=1e-3)
+
+
+def _reference_backward_numpy(l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u, mu):
+    """Independent numpy replica of the reference backward pass semantics
+    (``MPCBenchmark/agents/ilqr.py:280-333``): diagonal-vector cost Hessians
+    assembled per ``ilqr.py:24-27,269-271`` (so V_xx starts as a *vector* and
+    the l_xx/l_uu/l_ux rows broadcast-add), elementwise Q_uu**-1 gains.
+
+    Inputs here use the reference's shapes: l_xx (T+1, S) diag rows,
+    l_uu (T, A) diag rows, l_ux (T, S) rows.
+    """
+    T, S = f_x.shape[0], f_x.shape[1]
+    A = f_u.shape[2]
+    V_x = l_x[-1]
+    V_xx = l_xx[-1]  # vector, as in the reference
+    ks = np.zeros((T, A))
+    Ks = np.zeros((T, A, S))
+    for t in range(T - 1, -1, -1):
+        Q_x = l_x[t] + f_x[t].T @ V_x
+        Q_u = l_u[t] + f_u[t].T @ V_x
+        Q_xx = l_xx[None, t] + f_x[t].T @ V_xx @ f_x[t]
+        V_reg = V_xx + mu * np.eye(S)
+        Q_uu = l_uu[None, t] + f_u[t].T @ V_reg @ f_u[t]
+        Q_ux = l_ux[None, t] + f_u[t].T @ V_reg @ f_x[t]
+        ks[t] = k = -(Q_uu**-1) @ Q_u
+        Ks[t] = K = -(Q_uu**-1) @ Q_ux
+        V_x = Q_x + K.T @ Q_uu @ k + K.T @ Q_u + Q_ux.T @ k
+        V_xx = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
+        V_xx = 0.5 * (V_xx + V_xx.T)
+    return ks, Ks
+
+
+def test_ilqr_diag_hessian_matches_reference_numerics():
+    """backward_pass_ref reproduces the reference's diag-Hessian recursion
+    (including the terminal vector-V_xx broadcasting quirk) bit-for-bit in
+    f64-vs-f32 tolerance, on pendulum derivatives at a random trajectory."""
+    T = 8
+    solver = ILQR(model=PendulumModel, T=T, diag_hessian=True)
+    rng = np.random.default_rng(3)
+    x0 = jnp.float32([np.pi, 0.0])
+    us = jnp.float32(rng.uniform(-1.5, 1.5, (T, 1)))
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    xs, _ = simulate_trajectory(PendulumModel, x0, us, g_z)
+    d = solver.derivatives(xs, us, g_z)
+
+    mu = 0.37
+    with jax.default_matmul_precision("highest"):
+        ks, Ks, ok = solver.backward_pass_ref(d, jnp.float32(mu))
+    assert bool(ok)
+
+    want_ks, want_Ks = _reference_backward_numpy(
+        np.asarray(d.l_x, np.float64),
+        np.asarray(d.l_u, np.float64),
+        np.diagonal(np.asarray(d.l_xx, np.float64), axis1=-2, axis2=-1),
+        np.diagonal(np.asarray(d.l_uu, np.float64), axis1=-2, axis2=-1),
+        np.asarray(d.l_ux, np.float64)[:, -1, :],
+        np.asarray(d.f_x, np.float64),
+        np.asarray(d.f_u, np.float64),
+        mu,
+    )
+    np.testing.assert_allclose(np.asarray(ks), want_ks, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Ks), want_Ks, rtol=1e-4, atol=1e-5)
+
+
+def test_ilqr_diag_hessian_solve_improves():
+    """The compat mode is still a working solver on the pendulum."""
+    T = 25
+    solver = ILQR(model=PendulumModel, T=T, max_iter=10, threshold=1e-6,
+                  reference_accept=False, diag_hessian=True)
+    x0 = jnp.array([np.pi, 0.0], dtype=jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(4))
+    state = state._replace(planned_us=jnp.zeros((T, 1), jnp.float32))
+    _, cost0 = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
+    solve = jax.jit(solver.solve)
+    for _ in range(10):
+        state, _, _ = solve(state, x0, g_z)
+        state = state._replace(
+            planned_us=jnp.clip(state.planned_us, PendulumModel.lo, PendulumModel.hi)
+        )
+    _, cost1 = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
+    assert float(cost1) < 0.9 * float(cost0)
