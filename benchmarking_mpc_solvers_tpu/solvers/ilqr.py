@@ -17,6 +17,9 @@ TPU-first:
   costs.
 - the outer iteration loop is a ``lax.while_loop`` (vmappable: batched
   instances run lock-step with masking).
+- ``ddp=True`` adds the second-order dynamics contractions V_x·f_xx/f_ux/f_uu
+  to the Q-terms — full DDP, which the reference's ``closed_loop`` flag
+  sketched but never implemented (commented out at ``ilqr.py:301-305``).
 
 Deliberate correctness deltas from the reference (documented, flag-gated
 where behavioral):
@@ -81,6 +84,7 @@ class ILQR(Solver):
     n_alphas: int = 10
     reference_accept: bool = True
     diag_hessian: bool = False  # True = reference's diag-Hessian numerics
+    ddp: bool = False  # True = full DDP: second-order dynamics terms
 
     # -- state ----------------------------------------------------------------
     def init_state(self, key) -> ILQRState:
@@ -138,25 +142,56 @@ class ILQR(Solver):
             f_u,
         )
 
+    # -- second-order dynamics (DDP) --------------------------------------------
+    def dynamics_hessian(self, xs, us):
+        """(T, S, S+A, S+A) Hessians H[i] = ∂²f_i/∂(x,u)² along the
+        trajectory — the terms the reference's ``closed_loop`` flag left
+        commented out (``ilqr.py:301-305``)."""
+        model = self.model
+        S = model.state_size
+
+        def one(x, u):
+            def f(xu):
+                return model.dynamics(xu[:S], xu[S:])
+
+            return jax.jacfwd(jax.jacfwd(f))(jnp.concatenate([x, u]))
+
+        return jax.vmap(one)(xs[:-1], us)
+
     # -- backward pass ---------------------------------------------------------
-    def backward_pass(self, d: _Derivs, mu):
+    def backward_pass(self, d: _Derivs, mu, f_hess=None):
         S = self.model.state_size
         eye_s = jnp.eye(S, dtype=jnp.float32)
 
         def step(carry, inp):
             V_x, V_xx = carry
-            l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = inp
+            if f_hess is None:
+                l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = inp
+                vf_xx = vf_uu = vf_ux = 0.0
+            else:
+                l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u, H = inp
+                vf = jnp.einsum("i,ijk->jk", V_x, H)  # V_x · f_(xu)(xu)
+                vf_xx, vf_uu, vf_ux = vf[:S, :S], vf[S:, S:], vf[S:, :S]
+            # State-regularized gains (Tassa et al. 2012, eq. 10): the μ·I
+            # term enters ONLY the gain solve. The value recursion below uses
+            # the UNregularized Q-terms — folding the regularized Q_uu/Q_ux
+            # into V (as the reference does, ``ilqr.py:300-307``) injects
+            # O(μ) terms that the f_xᵀ·V_xx·f_x product amplifies
+            # geometrically over the horizon, overflowing for unstable
+            # dynamics (cartpole) at any μ.
             V_reg = V_xx + mu * eye_s
             Q_x = l_x + f_x.T @ V_x
             Q_u = l_u + f_u.T @ V_x
-            Q_xx = l_xx + f_x.T @ V_xx @ f_x
-            Q_uu = l_uu + f_u.T @ V_reg @ f_u
-            Q_ux = l_ux + f_u.T @ V_reg @ f_x
-            chol = jnp.linalg.cholesky(Q_uu)
+            Q_xx = l_xx + f_x.T @ V_xx @ f_x + vf_xx
+            Q_uu = l_uu + f_u.T @ V_xx @ f_u + vf_uu
+            Q_ux = l_ux + f_u.T @ V_xx @ f_x + vf_ux
+            Q_uu_reg = l_uu + f_u.T @ V_reg @ f_u + vf_uu
+            Q_ux_reg = l_ux + f_u.T @ V_reg @ f_x + vf_ux
+            chol = jnp.linalg.cholesky(Q_uu_reg)
             ok = jnp.all(jnp.isfinite(chol))
             chol_safe = jnp.where(jnp.isfinite(chol), chol, jnp.eye(Q_uu.shape[0]))
             kK = jax.scipy.linalg.cho_solve(
-                (chol_safe, True), jnp.concatenate([Q_u[:, None], Q_ux], axis=1)
+                (chol_safe, True), jnp.concatenate([Q_u[:, None], Q_ux_reg], axis=1)
             )
             k = -kK[:, 0]
             K = -kK[:, 1:]
@@ -167,6 +202,8 @@ class ILQR(Solver):
 
         init = (d.l_x[-1], d.l_xx[-1])
         per_t = (d.l_x[:-1], d.l_u, d.l_xx[:-1], d.l_uu, d.l_ux, d.f_x, d.f_u)
+        if f_hess is not None:
+            per_t = per_t + (f_hess,)
         _, (ks, Ks, oks) = lax.scan(step, init, per_t, reverse=True)
         return ks, Ks, jnp.all(oks)
 
@@ -296,8 +333,11 @@ class ILQR(Solver):
             mu = jnp.clip(mu, self.mu_min, self.mu_max)
             xs, cost = simulate_trajectory(model, x, us, g_z)
             d = self.derivatives(xs, us, g_z)
-            bp = self.backward_pass_ref if self.diag_hessian else self.backward_pass
-            ks, Ks, bp_ok = bp(d, mu)
+            if self.diag_hessian:
+                ks, Ks, bp_ok = self.backward_pass_ref(d, mu)
+            else:
+                f_hess = self.dynamics_hessian(xs, us) if self.ddp else None
+                ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess)
 
             us_c = jnp.clip(us, model.lo, model.hi)
             fwd = jax.vmap(lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z))

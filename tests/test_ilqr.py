@@ -190,3 +190,89 @@ def test_ilqr_diag_hessian_solve_improves():
         )
     _, cost1 = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
     assert float(cost1) < 0.9 * float(cost0)
+
+
+def test_ddp_matches_lqr_on_linear_system():
+    """Second-order dynamics terms vanish for linear dynamics, so DDP must
+    reproduce the closed-form LQR exactly, like plain iLQR."""
+    A, B, Q, R, Qf = make_problem()
+    T = 20
+    model = make_linear_model(A, B, Q, R, Qf, bounds=1e6)
+    solver = ILQR(model=model, T=T, max_iter=50, threshold=1e-9,
+                  reference_accept=False, ddp=True)
+    x0 = jnp.array([1.0, 0.5], dtype=jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    state = state._replace(planned_us=jnp.zeros((T, 1), jnp.float32))
+    for _ in range(5):
+        state, _, _ = solver.solve(state, x0, g_z)
+    want = lqr_optimal_us(A, B, Q, R, Qf, np.array([1.0, 0.5], np.float32), T)
+    np.testing.assert_allclose(np.asarray(state.planned_us), want, rtol=1e-3, atol=1e-4)
+
+
+def test_ddp_improves_pendulum_at_least_as_much_as_ilqr():
+    T = 25
+    x0 = jnp.array([np.pi, 0.0], dtype=jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    finals = {}
+    for ddp in (False, True):
+        solver = ILQR(model=PendulumModel, T=T, max_iter=10, threshold=1e-8,
+                      reference_accept=False, ddp=ddp)
+        state = solver.init_state(jax.random.PRNGKey(1))
+        state = state._replace(planned_us=jnp.zeros((T, 1), jnp.float32))
+        solve = jax.jit(solver.solve)
+        for _ in range(15):
+            state, _, _ = solve(state, x0, g_z)
+            state = state._replace(
+                planned_us=jnp.clip(state.planned_us, PendulumModel.lo, PendulumModel.hi)
+            )
+        _, c = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
+        finals[ddp] = float(c)
+    # DDP must be a working solver in the same cost ballpark or better
+    assert finals[True] < 1.1 * finals[False]
+    assert np.isfinite(finals[True])
+
+
+def test_dynamics_hessian_matches_fd():
+    """DDP's dynamics Hessian vs central finite differences of the Jacobian."""
+    T = 3
+    solver = ILQR(model=PendulumModel, T=T, ddp=True)
+    rng = np.random.default_rng(7)
+    xs = jnp.float32(rng.uniform(-1, 1, (T + 1, 2)))
+    us = jnp.float32(rng.uniform(-1, 1, (T, 1)))
+    H = np.asarray(solver.dynamics_hessian(xs, us))  # (T, S, S+A, S+A)
+    t = 1
+    xu = np.concatenate([np.asarray(xs[t]), np.asarray(us[t])]).astype(np.float64)
+
+    def jac(v):
+        import jax as _jax
+        f = lambda w: PendulumModel.dynamics(w[:2], w[2:])
+        return np.asarray(_jax.jacfwd(f)(jnp.float32(v)))
+
+    eps = 1e-3
+    for j in range(3):
+        e = np.zeros(3)
+        e[j] = eps
+        fd = (jac(xu + e) - jac(xu - e)) / (2 * eps)  # (S, S+A)
+        np.testing.assert_allclose(H[t, :, :, j], fd, rtol=2e-2, atol=2e-3)
+
+
+def test_ilqr_descends_on_unstable_cartpole():
+    """Regression: with reference-style regularization (μ folded into the
+    value recursion) the backward pass overflows on cartpole at every μ and
+    the solver silently no-ops. Gains-only regularization must descend."""
+    from benchmarking_mpc_solvers_tpu.models import CartPoleSwingUpModel as M
+
+    T = 50
+    x0 = jnp.array([0.0, 0.0, np.pi, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, M.goal_size), jnp.float32)
+    solver = ILQR(model=M, T=T, max_iter=8, threshold=1e-8, reference_accept=False)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    us0 = jnp.clip(state.planned_us, M.lo, M.hi)
+    _, c0 = simulate_trajectory(M, x0, us0, g_z)
+    solve = jax.jit(solver.solve)
+    for _ in range(6):
+        state, _, _ = solve(state, x0, g_z)
+        state = state._replace(planned_us=jnp.clip(state.planned_us, M.lo, M.hi))
+    _, c1 = simulate_trajectory(M, x0, state.planned_us, g_z)
+    assert float(c1) < 0.85 * float(c0), (float(c0), float(c1))
