@@ -20,6 +20,9 @@ TPU-first:
 - ``ddp=True`` adds the second-order dynamics contractions V_x·f_xx/f_ux/f_uu
   to the Q-terms — full DDP, which the reference's ``closed_loop`` flag
   sketched but never implemented (commented out at ``ilqr.py:301-305``).
+- ``box_ddp=True`` makes the backward pass control-limit-aware (clamped k,
+  zeroed K rows on the active set — boxDDP, exact for scalar actions); the
+  reference only clips in the forward pass.
 
 Deliberate correctness deltas from the reference (documented, flag-gated
 where behavioral):
@@ -85,6 +88,7 @@ class ILQR(Solver):
     reference_accept: bool = True
     diag_hessian: bool = False  # True = reference's diag-Hessian numerics
     ddp: bool = False  # True = full DDP: second-order dynamics terms
+    box_ddp: bool = False  # True = control-limited gains (clamp k, mask K)
 
     # -- state ----------------------------------------------------------------
     def init_state(self, key) -> ILQRState:
@@ -159,12 +163,19 @@ class ILQR(Solver):
         return jax.vmap(one)(xs[:-1], us)
 
     # -- backward pass ---------------------------------------------------------
-    def backward_pass(self, d: _Derivs, mu, f_hess=None):
+    def backward_pass(self, d: _Derivs, mu, f_hess=None, us=None):
+        """``us`` (passed when ``box_ddp``) enables control-limited gains:
+        k is clamped so u+k stays in bounds and K rows of clamped (active)
+        controls are zeroed (the scalar-action exact case of the boxDDP
+        projected-Newton solve, Tassa et al. 2014)."""
         S = self.model.state_size
         eye_s = jnp.eye(S, dtype=jnp.float32)
+        lo, hi = self.model.lo, self.model.hi
 
         def step(carry, inp):
             V_x, V_xx = carry
+            if us is not None:
+                inp, u_t = inp[:-1], inp[-1]
             if f_hess is None:
                 l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = inp
                 vf_xx = vf_uu = vf_ux = 0.0
@@ -195,6 +206,11 @@ class ILQR(Solver):
             )
             k = -kK[:, 0]
             K = -kK[:, 1:]
+            if us is not None:
+                u_new = u_t + k
+                lo_hit, hi_hit = u_new < lo, u_new > hi
+                k = jnp.where(lo_hit, lo - u_t, jnp.where(hi_hit, hi - u_t, k))
+                K = jnp.where((lo_hit | hi_hit)[:, None], 0.0, K)
             V_x = Q_x + K.T @ Q_uu @ k + K.T @ Q_u + Q_ux.T @ k
             V_xx = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
             V_xx = 0.5 * (V_xx + V_xx.T)
@@ -204,6 +220,8 @@ class ILQR(Solver):
         per_t = (d.l_x[:-1], d.l_u, d.l_xx[:-1], d.l_uu, d.l_ux, d.f_x, d.f_u)
         if f_hess is not None:
             per_t = per_t + (f_hess,)
+        if us is not None:
+            per_t = per_t + (us,)
         _, (ks, Ks, oks) = lax.scan(step, init, per_t, reverse=True)
         return ks, Ks, jnp.all(oks)
 
@@ -337,7 +355,8 @@ class ILQR(Solver):
                 ks, Ks, bp_ok = self.backward_pass_ref(d, mu)
             else:
                 f_hess = self.dynamics_hessian(xs, us) if self.ddp else None
-                ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess)
+                us_bp = jnp.clip(us, model.lo, model.hi) if self.box_ddp else None
+                ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess, us_bp)
 
             us_c = jnp.clip(us, model.lo, model.hi)
             fwd = jax.vmap(lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z))

@@ -276,3 +276,46 @@ def test_ilqr_descends_on_unstable_cartpole():
         state = state._replace(planned_us=jnp.clip(state.planned_us, M.lo, M.hi))
     _, c1 = simulate_trajectory(M, x0, state.planned_us, g_z)
     assert float(c1) < 0.85 * float(c0), (float(c0), float(c1))
+
+
+def test_box_ddp_matches_lqr_when_bounds_inactive():
+    A, B, Q, R, Qf = make_problem()
+    T = 20
+    model = make_linear_model(A, B, Q, R, Qf, bounds=1e6)
+    solver = ILQR(model=model, T=T, max_iter=50, threshold=1e-9,
+                  reference_accept=False, box_ddp=True)
+    x0 = jnp.array([1.0, 0.5], dtype=jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    state = state._replace(planned_us=jnp.zeros((T, 1), jnp.float32))
+    for _ in range(5):
+        state, _, _ = solver.solve(state, x0, g_z)
+    want = lqr_optimal_us(A, B, Q, R, Qf, np.array([1.0, 0.5], np.float32), T)
+    np.testing.assert_allclose(np.asarray(state.planned_us), want, rtol=1e-3, atol=1e-4)
+
+
+def test_box_ddp_respects_tight_bounds_and_descends():
+    """Torque-limited pendulum swing-up: bounds are genuinely active, the
+    plan stays feasible, and box-aware gains descend at least as well as
+    clip-only iLQR."""
+    T = 40
+    x0 = jnp.array([np.pi, 0.0], dtype=jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    finals = {}
+    for box in (False, True):
+        solver = ILQR(model=PendulumModel, T=T, max_iter=10, threshold=1e-8,
+                      reference_accept=False, box_ddp=box)
+        state = solver.init_state(jax.random.PRNGKey(3))
+        state = state._replace(planned_us=jnp.zeros((T, 1), jnp.float32))
+        solve = jax.jit(solver.solve)
+        for _ in range(12):
+            state, _, _ = solve(state, x0, g_z)
+            state = state._replace(
+                planned_us=jnp.clip(state.planned_us, PendulumModel.lo, PendulumModel.hi)
+            )
+        _, c = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
+        finals[box] = float(c)
+        us = np.asarray(state.planned_us)
+        assert us.min() >= float(PendulumModel.lo[0]) - 1e-6
+        assert us.max() <= float(PendulumModel.hi[0]) + 1e-6
+    assert finals[True] < 1.05 * finals[False], finals
