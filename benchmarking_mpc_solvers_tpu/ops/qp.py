@@ -82,6 +82,64 @@ def condense(
     return CondensedQP(H, g, lo, hi, Su, xfree)
 
 
+class CondensedQPBatch(NamedTuple):
+    H: jnp.ndarray  # (TA, TA) shared Hessian
+    g: jnp.ndarray  # (B, TA) per-scenario linear terms
+    lo: jnp.ndarray  # (TA,)
+    hi: jnp.ndarray  # (TA,)
+    Su: jnp.ndarray  # (T, S, TA)
+    Xfree: jnp.ndarray  # (B, T, S)
+
+
+def condense_batch(
+    dyn: AffineDynamics,
+    x0s,
+    Q,
+    R,
+    Qf,
+    xref,
+    uref,
+    u_lo,
+    u_hi,
+) -> CondensedQPBatch:
+    """Batched condensing for *shared* dynamics (linear MPC linearized at a
+    fixed operating point): H/Su are built once; only the free response —
+    affine in x₀ via the state-transition products Φ_t = A_t···A_0 — and
+    hence g vary per scenario. Feeds the shared-H Pallas ADMM path
+    (``qp_pallas.admm_iterate``)."""
+    A, B, c = dyn.A, dyn.B, dyn.c
+    T, S, nA = B.shape
+    TA = T * nA
+    eye_T = jnp.eye(T, dtype=B.dtype)
+
+    def step(carry, inp):
+        row, Phi, xp = carry
+        A_t, B_t, c_t, e_t = inp
+        row = jnp.einsum("ij,jta->ita", A_t, row) + jnp.einsum("t,ia->ita", e_t, B_t)
+        Phi = A_t @ Phi
+        xp = A_t @ xp + c_t
+        return (row, Phi, xp), (row, Phi, xp)
+
+    init = (
+        jnp.zeros((S, T, nA), B.dtype),
+        jnp.eye(S, dtype=B.dtype),
+        jnp.zeros((S,), B.dtype),
+    )
+    _, (rows, Phis, xparts) = lax.scan(step, init, (A, B, c, eye_T))
+    Su = rows.reshape(T, S, TA)
+
+    Qbar = jnp.broadcast_to(Q, (T, S, S)).at[T - 1].set(Qf)
+    QSu = jnp.einsum("tij,tjk->tik", Qbar, Su)
+    Rbar = jnp.kron(jnp.eye(T, dtype=B.dtype), R)
+    H = 2.0 * (jnp.einsum("tsi,tsj->ij", Su, QSu) + Rbar)
+    Xfree = jnp.einsum("tij,bj->bti", Phis, jnp.asarray(x0s, B.dtype)) + xparts[None]
+    dX = Xfree - xref[None, None, :]
+    g = 2.0 * (jnp.einsum("tsi,bts->bi", QSu, dX) - (Rbar @ jnp.tile(uref, T))[None])
+    lo = jnp.tile(jnp.asarray(u_lo, B.dtype), T)
+    hi = jnp.tile(jnp.asarray(u_hi, B.dtype), T)
+    return CondensedQPBatch(H, g, lo, hi, Su, Xfree)
+
+
 class ADMMResult(NamedTuple):
     U: jnp.ndarray  # (TA,) projected (feasible) solution
     r_prim: jnp.ndarray  # final primal residual ‖U − z‖∞

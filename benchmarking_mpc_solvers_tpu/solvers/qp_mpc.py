@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linearize import AffineDynamics
-from ..ops.qp import admm_solve, admm_solve_riccati, condense, ip_solve
+from ..ops.qp import admm_solve, admm_solve_riccati, condense, condense_batch, ip_solve
 from .base import Solver
 
 
@@ -120,3 +120,54 @@ class QPMPC(Solver):
                     U = admm_solve(qp, rho=self.rho, iters=self.iters, eps=self.eps).U
                 planned = U.reshape(self.T, model.action_size)
         return QPMPCState(planned, state.key), planned[0], {}
+
+    # -- batched path (fused episode runner, experiment/episode.py) ----------
+
+    def init_state_batch(self, keys) -> QPMPCState:
+        B = keys.shape[0]
+        return QPMPCState(
+            jnp.zeros((B, self.T, self.model.action_size), jnp.float32), keys
+        )
+
+    def solve_batch(self, state: QPMPCState, xs, g_z):
+        """Batched solve over B scenarios. ``method='admm'`` runs the
+        blocked Pallas ADMM kernel (``ops/qp_pallas.py``): shared-H MXU
+        matvecs when ``linearize_at='goal'`` (H is scenario-independent;
+        only g varies with x₀), per-scenario VMEM-resident factorizations
+        for LTV (``'state'``). Fixed ``iters`` iterations (the batch runs
+        lock-step; ``eps`` early-exit applies only to the scalar path).
+        Other methods fall back to a vmapped scalar solve."""
+        if self.method != "admm":
+            return jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
+
+        from ..ops.qp_pallas import admm_iterate
+
+        model = self.model
+        B = xs.shape[0]
+        with jax.default_matmul_precision("highest"):
+            Q, R, Qf = self._weights()
+            xref = self._goal_state()
+            uref = jnp.zeros((model.action_size,), jnp.float32)
+            n = self.T * model.action_size
+            eye = jnp.eye(n, dtype=jnp.float32)
+            if self.linearize_at == "goal":
+                dyn = self._linearize(xs[0])  # x ignored at 'goal'
+                qp = condense_batch(
+                    dyn, xs, Q, R, Qf, xref, uref, model.lo, model.hi
+                )
+                Minv = jnp.linalg.inv(qp.H + self.rho * eye)  # (n, n) shared
+                g, lo, hi = qp.g, qp.lo, qp.hi
+            else:
+                qps = jax.vmap(
+                    lambda x: condense(
+                        self._linearize(x), x, Q, R, Qf,
+                        xref=xref, uref=uref, u_lo=model.lo, u_hi=model.hi,
+                    )
+                )(xs)
+                Minv = jnp.linalg.inv(qps.H + self.rho * eye)  # (B, n, n)
+                g, lo, hi = qps.g, qps.lo[0], qps.hi[0]
+            z = admm_iterate(
+                Minv, g, lo, hi, rho=self.rho, alpha=1.6, iters=self.iters
+            )
+            planned = z.reshape(B, self.T, model.action_size)
+        return QPMPCState(planned, state.key), planned[:, 0], {}
