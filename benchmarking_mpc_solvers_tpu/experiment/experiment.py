@@ -149,6 +149,7 @@ class Experiment:
             "name": f"{self.agent_name} solving {self.env.name} with {model.name}"
             f"\n Starting from {self.start_state} Time: {passed_time}",
             "computation_time": computation_time,
+            "timing_mode": "per_step",  # true wall-clock per solve
             "passed_time": passed_time,
             "compile_time": 0.0,
             "warmstart": warmstart > 0,
@@ -204,6 +205,9 @@ class Experiment:
         steady = time.perf_counter() - t0
 
         per_step = steady / self.experiment_length
+        # NOTE: amortized — a synthetic constant series (episode total / N),
+        # not true per-step latencies; see "timing_mode" below and use
+        # timed_per_step=True for faithful per-step wall-clock.
         computation_time = [round(per_step, 6)] * self.experiment_length
         passed_time = round(steady, 6)
 
@@ -216,6 +220,7 @@ class Experiment:
         out: Dict[str, Any] = {
             "name": name,
             "computation_time": computation_time,
+            "timing_mode": "amortized",  # constant synthetic series, see above
             "passed_time": passed_time,
             "compile_time": round(compile_and_run - steady, 3),
             "warmstart": bool(cfg.warmstart),

@@ -53,7 +53,31 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("rho", "alpha", "iters", "lanes"))
+VMEM_BUDGET_BYTES = 12 * 1024 * 1024  # conservative slice of the ~16MB VMEM
+
+
+def _admm_iterate_xla(Minv, g, lo, hi, rho, alpha, iters):
+    """Plain-XLA fallback with identical iteration semantics (used when the
+    per-program VMEM footprint would exceed the budget)."""
+    matvec = (lambda v: v @ Minv.T) if Minv.ndim == 2 else (
+        lambda v: jnp.einsum("bij,bj->bi", Minv, v)
+    )
+
+    def body(_, zy):
+        z, y = zy
+        u = matvec(rho * (z - y) - g)
+        u_rel = alpha * u + (1.0 - alpha) * z
+        z_new = jnp.clip(u_rel + y, lo, hi)
+        return z_new, y + u_rel - z_new
+
+    z0 = jnp.zeros_like(g)
+    z, _ = lax.fori_loop(0, iters, body, (z0, z0))
+    return z
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rho", "alpha", "iters", "lanes", "interpret")
+)
 def admm_iterate(
     Minv,
     g,
@@ -63,6 +87,7 @@ def admm_iterate(
     alpha: float = 1.6,
     iters: int = 100,
     lanes: int = 128,
+    interpret: bool | None = None,
 ):
     """Run ``iters`` ADMM iterations for B box-QPs in one kernel launch.
 
@@ -73,14 +98,28 @@ def admm_iterate(
       rho, alpha: ADMM penalty and over-relaxation (OSQP defaults).
       iters: fixed iteration count (static).
       lanes: problems per kernel program (lane-dim block).
+      interpret: run the kernel in interpreter mode (for CPU tests). Default
+        (None) picks by the process default backend; pass explicitly when
+        the computation is committed to a device that differs from it.
 
     Returns: z (B, n) — the projected (always box-feasible) iterate,
     matching ``qp.admm_solve(..., eps=0).U``.
+
+    Falls back to an equivalent plain-XLA loop when the per-program VMEM
+    footprint (per-problem M block + 4 vector blocks) would exceed
+    ``VMEM_BUDGET_BYTES`` — e.g. per-problem layouts with n = T·A ≳ 170.
     """
     B, n = g.shape
     shared = Minv.ndim == 2
     n_pad = _round_up(n, SUBLANES)
     Bp = _round_up(max(B, lanes), lanes)
+
+    m_bytes = (n_pad * n_pad * 4) if shared else (n * n_pad * lanes * 4)
+    vmem_bytes = m_bytes + 5 * n_pad * lanes * 4  # 4 vec inputs + 1 output
+    if vmem_bytes > VMEM_BUDGET_BYTES:
+        lo_b = jnp.broadcast_to(lo, (B, n)).astype(jnp.float32)
+        hi_b = jnp.broadcast_to(hi, (B, n)).astype(jnp.float32)
+        return _admm_iterate_xla(Minv, g, lo_b, hi_b, rho, alpha, iters)
 
     lo = jnp.broadcast_to(lo, (B, n)).astype(jnp.float32)
     hi = jnp.broadcast_to(hi, (B, n)).astype(jnp.float32)
@@ -136,6 +175,6 @@ def admm_iterate(
         in_specs=[m_spec, vec_spec, vec_spec, vec_spec],
         out_specs=vec_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, Bp), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
+        interpret=(jax.default_backend() != "tpu") if interpret is None else interpret,
     )(M, g_tm, lo_tm, hi_tm)
     return z[:n, :B].T

@@ -150,12 +150,21 @@ class QPMPC(Solver):
             uref = jnp.zeros((model.action_size,), jnp.float32)
             n = self.T * model.action_size
             eye = jnp.eye(n, dtype=jnp.float32)
+
+            def chol_inv(M):
+                # Cholesky-based inverse (= cho_solve against I) so the
+                # batched path matches admm_solve's numerics; an explicit
+                # inv() amplifies error on the ill-conditioned condensed H
+                # (cond up to ~1e14 on unstable plants, see ops/qp.py).
+                c = jnp.linalg.cholesky(M)
+                return jax.scipy.linalg.cho_solve((c, True), eye)
+
             if self.linearize_at == "goal":
                 dyn = self._linearize(xs[0])  # x ignored at 'goal'
                 qp = condense_batch(
                     dyn, xs, Q, R, Qf, xref, uref, model.lo, model.hi
                 )
-                Minv = jnp.linalg.inv(qp.H + self.rho * eye)  # (n, n) shared
+                Minv = chol_inv(qp.H + self.rho * eye)  # (n, n) shared
                 g, lo, hi = qp.g, qp.lo, qp.hi
             else:
                 qps = jax.vmap(
@@ -164,8 +173,8 @@ class QPMPC(Solver):
                         xref=xref, uref=uref, u_lo=model.lo, u_hi=model.hi,
                     )
                 )(xs)
-                Minv = jnp.linalg.inv(qps.H + self.rho * eye)  # (B, n, n)
-                g, lo, hi = qps.g, qps.lo[0], qps.hi[0]
+                Minv = jax.vmap(chol_inv)(qps.H + self.rho * eye)  # (B, n, n)
+                g, lo, hi = qps.g, qps.lo, qps.hi  # full per-scenario bounds
             z = admm_iterate(
                 Minv, g, lo, hi, rho=self.rho, alpha=1.6, iters=self.iters
             )

@@ -41,14 +41,23 @@ def report(name, solves_per_sec, p50_ms, cost, viol, extra=None):
         json.dumps(
             {
                 "config": name,
-                "solves_per_sec": round(solves_per_sec, 1),
-                "p50_step_latency_ms": round(p50_ms, 4),
+                # null = the slope timer could not resolve the runtime above
+                # measurement noise (short quick-mode runs), NOT zero time
+                "solves_per_sec": None if solves_per_sec is None else round(solves_per_sec, 1),
+                "p50_step_latency_ms": None if p50_ms is None else round(p50_ms, 4),
                 "episode_cost": round(cost, 2),
                 "constraint_violation": viol,
                 **(extra or {}),
             }
         )
     )
+
+
+def timed_per_call(fn, inner_reps, outer_reps):
+    """Slope-timed seconds per call, or None when the measurement is
+    noise-dominated (non-positive slope) and therefore unresolvable."""
+    per_call = slope_timer(fn, inner_reps=inner_reps, outer_reps=outer_reps)
+    return per_call if per_call > 1e-6 else None
 
 
 def episode_metrics(env, solver, cfg, B, quick, inner=None):
@@ -69,13 +78,12 @@ def episode_metrics(env, solver, cfg, B, quick, inner=None):
     def scalar_fn(key):
         return run(key, jitter=True).costs.sum()
 
-    per_call = slope_timer(scalar_fn,
-                           inner_reps=inner or (3 if quick else 9),
-                           outer_reps=1 if quick else 3)
-    per_call = max(per_call, 1e-6)  # quick-mode slopes can be noise-negative
+    per_call = timed_per_call(scalar_fn,
+                              inner_reps=inner or (3 if quick else 9),
+                              outer_reps=1 if quick else 3)
     res = jax.jit(run)(jax.random.PRNGKey(0))
-    solves = B * cfg.n_steps / per_call
-    p50_ms = per_call / cfg.n_steps * 1e3
+    solves = B * cfg.n_steps / per_call if per_call else None
+    p50_ms = per_call / cfg.n_steps * 1e3 if per_call else None
     cost = float(np.median(np.asarray(res.costs.sum(axis=-1))))
     viol = violation(res.true_actions, float(env.model.lo[0]), float(env.model.hi[0]))
     return solves, p50_ms, cost, viol
@@ -114,14 +122,14 @@ def main():
         x0 = x0s + (1e-3 * jax.random.normal(key, x0s.shape) if jitter else 0.0)
         return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
 
-    per_call = max(slope_timer(lambda k: run2(k, True).costs.sum(),
-                                inner_reps=3 if q else 7, outer_reps=1 if q else 2), 1e-6)
+    per_call = timed_per_call(lambda k: run2(k, True).costs.sum(),
+                              inner_reps=3 if q else 7, outer_reps=1 if q else 2)
     res = jax.jit(run2)(jax.random.PRNGKey(0))
     final_theta = float(np.abs(np.asarray(res.true_states[:, -1, 2])).max())
     report(
         "cartpole stabilization QP MPC T=50 box-constrained",
-        B * cfg.n_steps / per_call,
-        per_call / cfg.n_steps * 1e3,
+        B * cfg.n_steps / per_call if per_call else None,
+        per_call / cfg.n_steps * 1e3 if per_call else None,
         float(np.median(np.asarray(res.costs.sum(axis=-1)))),
         violation(res.true_actions, -1.0, 1.0),
         {"max_final_pole_angle_rad": round(final_theta, 4)},
@@ -148,13 +156,13 @@ def main():
         x0 = x0s4 + (1e-3 * jax.random.normal(key, x0s4.shape) if jitter else 0.0)
         return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
 
-    per_call = max(slope_timer(lambda k: run4(k, True).costs.sum(),
-                                inner_reps=3 if q else 5, outer_reps=1), 1e-6)
+    per_call = timed_per_call(lambda k: run4(k, True).costs.sum(),
+                              inner_reps=3 if q else 5, outer_reps=1)
     res = jax.jit(run4)(jax.random.PRNGKey(0))
     report(
         "acrobot NMPC SQP T=100",
-        B4 * cfg.n_steps / per_call,
-        per_call / cfg.n_steps * 1e3,
+        B4 * cfg.n_steps / per_call if per_call else None,
+        per_call / cfg.n_steps * 1e3 if per_call else None,
         float(np.median(np.asarray(res.costs.sum(axis=-1)))),
         violation(res.true_actions, -1.0, 1.0),
     )
@@ -192,15 +200,15 @@ def main():
             ep = jax.vmap(lambda kk, xx: run_episode(env, solver, cfg, kk, xx))(ks, x0)
             return ep.costs.sum()
 
-        per = max(
-            slope_timer(scalar, inner_reps=2 if q else 5, outer_reps=1), 1e-6
-        )
-        sps[name] = round(B5 * cfg.n_steps / per, 1)
-        lat.append(per / cfg.n_steps * 1e3)
+        per = timed_per_call(scalar, inner_reps=2 if q else 5, outer_reps=1)
+        sps[name] = round(B5 * cfg.n_steps / per, 1) if per else None
+        if per:
+            lat.append(per / cfg.n_steps * 1e3)
+    resolved = [v for v in sps.values() if v is not None]
     report(
         f"multi-solver sweep x {B5} scenarios sharded over {n_dev} device(s)",
-        sum(sps.values()) / len(sps),
-        float(np.median(lat)),
+        sum(resolved) / len(resolved) if resolved else None,
+        float(np.median(lat)) if lat else None,
         rows[0][1],
         0.0,
         {
