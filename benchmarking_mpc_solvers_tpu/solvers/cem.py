@@ -115,9 +115,15 @@ class CEM(Solver):
         lo, hi = float(model.bounds_low[0]), float(model.bounds_high[0])
 
         def body(carry, _):
-            mean, std, key, done = carry  # (B,T), (B,T), key, (B,)
-            k_sample, key = jax.random.split(key)
-            noise_tm = jax.random.normal(k_sample, (T, B, K), jnp.float32)
+            mean, std, keys, done = carry  # (B,T), (B,T), (B,2) keys, (B,)
+            # per-scenario draws (batch on axis 1): a scenario's noise is a
+            # function of its key, not its batch slot, so permuting the
+            # batch permutes the results
+            splits = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
+            k_sample, keys = splits[:, 0], splits[:, 1]
+            noise_tm = jax.vmap(
+                lambda k: jax.random.normal(k, (T, K), jnp.float32), out_axes=1
+            )(k_sample)
             samples_tm = jnp.clip(
                 mean.T[:, :, None] + std.T[:, :, None] * noise_tm, lo, hi
             )
@@ -136,15 +142,13 @@ class CEM(Solver):
             mean = jnp.where(done[:, None], mean, new_mean)
             std = jnp.where(done[:, None], std, new_std)
             done = jnp.logical_or(done, jnp.all(std < self.epsilon, axis=1))
-            return (mean, std, key, done), None
+            return (mean, std, keys, done), None
 
         mean0 = state.planned_us[..., 0]  # (B, T)
         std0 = jnp.full((B, T), self.std, jnp.float32)
-        key0 = state.key[0]
         done0 = jnp.zeros((B,), bool)
-        (mean, _, _, _), _ = lax.scan(
-            body, (mean0, std0, key0, done0), None, length=self.max_iter
+        (mean, _, keys, _), _ = lax.scan(
+            body, (mean0, std0, state.key, done0), None, length=self.max_iter
         )
-        keys = jax.vmap(lambda k: jax.random.split(k)[1])(state.key)
         new_state = CEMState(mean[:, :, None], keys)
         return new_state, mean[:, :1, None][:, 0], {}

@@ -103,13 +103,15 @@ class MPPI(Solver):
     def solve_batch(self, state: MPPIState, xs, g_z, use_fused: bool = True):
         """One MPPI step for B scenarios at once.
 
-        Everything is *time-major*: the perturbations are drawn in one
-        threefry call with layout (T, B·K) and fed straight to the fused
-        Pallas kernel (``ops/fused.py``) — no per-scenario vmapped RNG, no
-        (B,K,T) materializations, no big transposes. Same update law as
-        ``solve`` with ``resample=True``; the noise stream differs (one
-        batched draw instead of per-scenario keys), which is immaterial to
-        the controller's distribution.
+        Everything is *time-major*: perturbations are drawn per scenario
+        (vmapped threefry over the per-scenario keys, batch on axis 1) so a
+        scenario's noise stream — and therefore its result — is a function
+        of its key alone, not its batch slot: permuting the batch permutes
+        the outputs. The (T, B, K) draws feed the fused Pallas kernel
+        (``ops/fused.py``) with no transposes. Same update law as ``solve``
+        with ``resample=True``; the per-call key-split sequence differs from
+        the scalar path's, which is immaterial to the controller's
+        distribution.
 
         state fields carry a leading (B,) axis; xs is (B, S).
         """
@@ -120,10 +122,12 @@ class MPPI(Solver):
         K, T, A = self.K, self.T, model.action_size
         N = B * K
         keys = jax.vmap(jax.random.split)(state.key)  # (B, 2, 2)
-        k_delta, key = keys[0, 0], keys[:, 1]
+        k_delta, key = keys[:, 0], keys[:, 1]
 
         if use_fused and A == 1:
-            delta_tm = self.std * jax.random.normal(k_delta, (T, N), jnp.float32)
+            delta_tm = self.std * jax.vmap(
+                lambda k: jax.random.normal(k, (T, K), jnp.float32), out_axes=1
+            )(k_delta).reshape(T, N)
             planned_tm = state.planned_us[..., 0].T  # (T, B)
             us_tm = (
                 jnp.broadcast_to(planned_tm[:, :, None], (T, B, K)).reshape(T, N)
@@ -142,7 +146,9 @@ class MPPI(Solver):
             upd = jnp.einsum("bk,tbk->bt", w, delta_tm.reshape(T, B, K))
             planned = state.planned_us + upd[:, :, None]
         else:
-            delta = self.std * jax.random.normal(k_delta, (B, K, T, A), jnp.float32)
+            delta = self.std * jax.vmap(
+                lambda k: jax.random.normal(k, (K, T, A), jnp.float32)
+            )(k_delta)
             samples = state.planned_us[:, None] + delta
             roll = jax.vmap(
                 lambda x, s: rollout_cost_samples(model, x, s, g_z)[0]
