@@ -91,7 +91,10 @@ class Experiment:
     # -- construction ---------------------------------------------------------
     def _build(self):
         extra = {}
-        if self.model_is_noised and self.agent_name in ("CEM", "MPPI"):
+        if self.model_is_noised:
+            # every solver plans through the noised model, like the reference
+            # (Experiment.py:58-60 noises the shared planning model for
+            # whichever agent runs — CEM, MPPI, and iLQR alike)
             extra["model_noise_std"] = self.sensor_noise_std
         solver = make_solver(self.agent_name, self.env.model, self.agent_config, **extra)
         noise = NoiseConfig(

@@ -93,6 +93,33 @@ rollout_cost_noisy_samples = jax.vmap(
 )
 
 
+def rollout_noisy(model: Model, x0, us, g_z, xnoise):
+    """Full-trajectory rollout with additive per-step state noise (T, S).
+
+    The trajectory counterpart of ``rollout_cost_noisy`` — used by the
+    derivative solvers (iLQR/SQP/I2C) when the *planning model* is noised
+    (reference: every ``model.predict`` in ``Agent.simulate_trajectory`` /
+    ``forward_pass`` adds N(0, std) to the next state when
+    ``Experiment.py:58-60`` calls ``model.set_sensor_noise``; the derivative
+    closures bypass ``predict`` and stay clean, ``agents/ilqr.py:57-81``).
+    """
+
+    def step(x, inp):
+        u, gz, nz = inp
+        x_next, c = model.step_and_cost(x, u, gz)
+        x_next = x_next + nz
+        return x_next, (x_next, c)
+
+    _, (xs, costs) = lax.scan(step, x0, (us, g_z, xnoise))
+    return jnp.concatenate([x0[None], xs], axis=0), costs
+
+
+def simulate_trajectory_noisy(model: Model, x0, us, g_z, xnoise):
+    """Noisy-planning-model variant of ``simulate_trajectory``."""
+    xs, costs = rollout_noisy(model, x0, us, g_z, xnoise)
+    return xs, jnp.sum(costs)
+
+
 def simulate_trajectory(model: Model, x0, us, g_z):
     """(xs, total_cost) — the reference ``Agent.simulate_trajectory`` contract
     (``agents/agent.py:97-108``: returns states and −Σreward)."""

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.linearize import linearize_dynamics
-from ..ops.rollout import rollout
+from ..ops.rollout import rollout, rollout_noisy
 from .base import Solver
 
 
@@ -56,18 +56,25 @@ class I2C(Solver):
     sigma_u: float = 0.5  # control prior std
     eps_w: float = 1e-5  # cost-weight ridge (W is usually singular)
     eps_x: float = 1e-6  # state process-noise floor
+    # planning-model noise (noise_tests.py model_noise sweeps): the nominal
+    # rollout the smoother linearizes around gets additive state noise — the
+    # reference's noisy model.predict (models/model.py:42-43)
+    model_noise_std: float = 0.0
 
     def init_state(self, key) -> I2CState:
         return I2CState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
 
     # -- one smoothing iteration ------------------------------------------------
-    def _smooth_once(self, x0, us, g_z, alpha):
+    def _smooth_once(self, x0, us, g_z, alpha, xnoise=None):
         model = self.model
         S, A = model.state_size, model.action_size
         D = S + A
         T = self.T
 
-        xs, _ = rollout(model, x0, us, g_z)
+        if xnoise is None:
+            xs, _ = rollout(model, x0, us, g_z)
+        else:
+            xs, _ = rollout_noisy(model, x0, us, g_z, xnoise)
         dyn = linearize_dynamics(model, xs[:-1], us)
 
         # feature observation model z(ξ) ≈ J ξ + z0 at the nominal
@@ -141,16 +148,23 @@ class I2C(Solver):
         with jax.default_matmul_precision("highest"):
 
             def body(carry, _):
-                us, alpha = carry
-                us_new = self._smooth_once(x, us, g_z, alpha)
+                us, alpha, key = carry
+                if self.model_noise_std > 0.0:
+                    key, k_noise = jax.random.split(key)
+                    nz = self.model_noise_std * jax.random.normal(
+                        k_noise, (self.T, model.state_size), jnp.float32
+                    )
+                    us_new = self._smooth_once(x, us, g_z, alpha, nz)
+                else:
+                    us_new = self._smooth_once(x, us, g_z, alpha)
                 us_new = jnp.clip(us_new, model.lo, model.hi)
                 alpha = jnp.minimum(alpha * self.anneal, self.alpha_max)
-                return (us_new, alpha), None
+                return (us_new, alpha, key), None
 
-            (us, _), _ = lax.scan(
+            (us, _, key), _ = lax.scan(
                 body,
-                (state.planned_us, jnp.float32(self.alpha0)),
+                (state.planned_us, jnp.float32(self.alpha0), state.key),
                 None,
                 length=self.max_iter,
             )
-        return I2CState(us, state.key), us[0], {}
+        return I2CState(us, key), us[0], {}

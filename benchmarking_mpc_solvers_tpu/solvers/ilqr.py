@@ -57,7 +57,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.rollout import simulate_trajectory
+from ..ops.rollout import simulate_trajectory, simulate_trajectory_noisy
 from .base import Solver
 
 
@@ -89,6 +89,12 @@ class ILQR(Solver):
     diag_hessian: bool = False  # True = reference's diag-Hessian numerics
     ddp: bool = False  # True = full DDP: second-order dynamics terms
     box_ddp: bool = False  # True = control-limited gains (clamp k, mask K)
+    # planning-model noise (noise_tests.py model_noise sweeps): the reference
+    # noises every model.predict (models/model.py:42-43), which in iLQR means
+    # the nominal rollout and the line-search forward passes — NOT the
+    # derivative closures, which call _dynamics/_transform directly
+    # (agents/ilqr.py:57-81) and so stay clean.
+    model_noise_std: float = 0.0
 
     # -- state ----------------------------------------------------------------
     def init_state(self, key) -> ILQRState:
@@ -302,19 +308,25 @@ class ILQR(Solver):
         return ks, Ks, jnp.bool_(True)
 
     # -- forward pass ----------------------------------------------------------
-    def forward_pass(self, alpha, ks, Ks, xs, us, g_z):
+    def forward_pass(self, alpha, ks, Ks, xs, us, g_z, xnoise=None):
+        """``xnoise`` (T, S), when given, is added after each dynamics step —
+        the noisy planning model's ``predict`` (``models/model.py:42-43``)."""
         model = self.model
+        if xnoise is None:
+            xnoise = jnp.zeros((self.T, model.state_size), jnp.float32)
 
         def step(carry, inp):
             x_hat, cost = carry
-            u, k, K, x_ref, gz = inp
+            u, k, K, x_ref, gz, nz = inp
             u_hat = u + alpha * k + K @ (x_hat - x_ref)
             u_hat = jnp.clip(u_hat, model.lo, model.hi)
             x_next, c = model.step_and_cost(x_hat, u_hat, gz)
-            return (x_next, cost + c), (x_hat, u_hat)
+            return (x_next + nz, cost + c), (x_hat, u_hat)
 
         (x_last, cost), (xs_hat, us_hat) = lax.scan(
-            step, (xs[0], jnp.zeros((), jnp.float32)), (us, ks, Ks, xs[:-1], g_z)
+            step,
+            (xs[0], jnp.zeros((), jnp.float32)),
+            (us, ks, Ks, xs[:-1], g_z, xnoise),
         )
         xs_hat = jnp.concatenate([xs_hat[1:], x_last[None]], axis=0)
         xs_hat = jnp.concatenate([xs[:1], xs_hat], axis=0)
@@ -343,13 +355,20 @@ class ILQR(Solver):
             return mu, delta
 
         def cond(carry):
-            i, _us, _mu, _delta, converged = carry
+            i, _us, _mu, _delta, converged, _key = carry
             return jnp.logical_and(i < self.max_iter, ~converged)
 
         def body(carry):
-            i, us, mu, delta, _ = carry
+            i, us, mu, delta, _, key = carry
             mu = jnp.clip(mu, self.mu_min, self.mu_max)
-            xs, cost = simulate_trajectory(model, x, us, g_z)
+            if self.model_noise_std > 0.0:
+                key, k_sim, k_fwd = jax.random.split(key, 3)
+                nz_sim = self.model_noise_std * jax.random.normal(
+                    k_sim, (self.T, model.state_size), jnp.float32
+                )
+                xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
+            else:
+                xs, cost = simulate_trajectory(model, x, us, g_z)
             d = self.derivatives(xs, us, g_z)
             if self.diag_hessian:
                 ks, Ks, bp_ok = self.backward_pass_ref(d, mu)
@@ -359,8 +378,21 @@ class ILQR(Solver):
                 ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess, us_bp)
 
             us_c = jnp.clip(us, model.lo, model.hi)
-            fwd = jax.vmap(lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z))
-            new_xss, new_uss, new_costs = fwd(alphas)
+            if self.model_noise_std > 0.0:
+                # fresh noise per line-search rollout, like the reference's
+                # per-predict draws (ilqr.py:340-350 through model.predict)
+                nz_fwd = self.model_noise_std * jax.random.normal(
+                    k_fwd, (self.n_alphas, self.T, model.state_size), jnp.float32
+                )
+                fwd = jax.vmap(
+                    lambda a, nz: self.forward_pass(a, ks, Ks, xs, us_c, g_z, nz)
+                )
+                new_xss, new_uss, new_costs = fwd(alphas, nz_fwd)
+            else:
+                fwd = jax.vmap(
+                    lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z)
+                )
+                new_xss, new_uss, new_costs = fwd(alphas)
 
             if self.reference_accept:
                 # Sequential accept replay (ilqr.py:149-206): stop at the first
@@ -404,7 +436,7 @@ class ILQR(Solver):
             delta = jnp.where(escalate, delta_i, delta)
             us_new = jnp.where(bp_ok, us_new, us)
             converged = jnp.where(bp_ok, converged, False)
-            return (i + 1, us_new, mu, delta, converged)
+            return (i + 1, us_new, mu, delta, converged, key)
 
         init = (
             jnp.int32(0),
@@ -412,7 +444,8 @@ class ILQR(Solver):
             jnp.float32(1.0),
             jnp.float32(self.delta_zero),
             jnp.bool_(False),
+            state.key,
         )
-        _, us, _, _, _ = lax.while_loop(cond, body, init)
-        new_state = ILQRState(us, state.key)
+        _, us, _, _, _, key = lax.while_loop(cond, body, init)
+        new_state = ILQRState(us, key)
         return new_state, us[0], {}

@@ -49,6 +49,11 @@ class QPMPC(Solver):
     R: Optional[tuple] = None
     Qf: Optional[tuple] = None
     goal_x: Optional[tuple] = None  # linearization/tracking state target
+    # planning-model noise (noise_tests.py model_noise sweeps): QPMPC makes
+    # one dynamics evaluation per solve (the linearization residual), so the
+    # reference's per-predict state noise (models/model.py:42-43) lands on
+    # the affine term c — the planned trajectory is perturbed accordingly
+    model_noise_std: float = 0.0
 
     def _weights(self):
         """Gauss-Newton (Q, R, Qf) from the model's feature-space quadratic,
@@ -98,8 +103,16 @@ class QPMPC(Solver):
 
     def solve(self, state: QPMPCState, x, g_z):
         model = self.model
+        key = state.key
         with jax.default_matmul_precision("highest"):
             dyn = self._linearize(x)
+            if self.model_noise_std > 0.0:
+                key, k_noise = jax.random.split(key)
+                dyn = dyn._replace(
+                    c=dyn.c
+                    + self.model_noise_std
+                    * jax.random.normal(k_noise, dyn.c.shape, jnp.float32)
+                )
             Q, R, Qf = self._weights()
             xref = self._goal_state()
             uref = jnp.zeros((model.action_size,), jnp.float32)
@@ -119,7 +132,7 @@ class QPMPC(Solver):
                 else:
                     U = admm_solve(qp, rho=self.rho, iters=self.iters, eps=self.eps).U
                 planned = U.reshape(self.T, model.action_size)
-        return QPMPCState(planned, state.key), planned[0], {}
+        return QPMPCState(planned, key), planned[0], {}
 
     # -- batched path (fused episode runner, experiment/episode.py) ----------
 
@@ -136,8 +149,10 @@ class QPMPC(Solver):
         only g varies with x₀), per-scenario VMEM-resident factorizations
         for LTV (``'state'``). Fixed ``iters`` iterations (the batch runs
         lock-step; ``eps`` early-exit applies only to the scalar path).
-        Other methods fall back to a vmapped scalar solve."""
-        if self.method != "admm":
+        Other methods — and the noised-planning-model mode, which needs
+        per-scenario keyed residual noise — fall back to a vmapped scalar
+        solve."""
+        if self.method != "admm" or self.model_noise_std > 0.0:
             return jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
 
         from ..ops.qp_pallas import admm_iterate

@@ -28,7 +28,7 @@ from jax import lax
 
 from ..ops.linearize import linearize_dynamics, quadratize_cost
 from ..ops.riccati import tvlqr_backward
-from ..ops.rollout import rollout, simulate_trajectory
+from ..ops.rollout import rollout, simulate_trajectory, simulate_trajectory_noisy
 from .base import Solver
 
 
@@ -46,6 +46,11 @@ class SQP(Solver):
     reg_factor: float = 10.0
     n_alphas: int = 8
     tol: float = 1e-6
+    # planning-model noise (noise_tests.py model_noise sweeps): rollouts and
+    # line-search forward passes get additive state noise, the linearization
+    # stays clean at the noisy points — the reference's noisy-predict /
+    # clean-closure split (models/model.py:42-43 vs agents/ilqr.py:57-81)
+    model_noise_std: float = 0.0
 
     def init_state(self, key) -> SQPState:
         return SQPState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
@@ -66,22 +71,24 @@ class SQP(Solver):
         )
         return tvlqr_backward(dyn, cost, reg=0.0)
 
-    def _try_step(self, alpha, policy, xs, us, g_z):
+    def _try_step(self, alpha, policy, xs, us, g_z, xnoise=None):
         """Closed-loop forward application of the deviation policy."""
         model = self.model
+        if xnoise is None:
+            xnoise = jnp.zeros((self.T, model.state_size), jnp.float32)
 
         def step(carry, inp):
             x, cost = carry
-            u, K, k, x_ref, gz = inp
+            u, K, k, x_ref, gz, nz = inp
             u_new = u + alpha * k + K @ (x - x_ref)
             u_new = jnp.clip(u_new, model.lo, model.hi)
             x_next, c = model.step_and_cost(x, u_new, gz)
-            return (x_next, cost + c), u_new
+            return (x_next + nz, cost + c), u_new
 
         (x_last, cost), us_new = lax.scan(
             step,
             (xs[0], jnp.zeros((), jnp.float32)),
-            (us, policy.K, policy.k, xs[:-1], g_z),
+            (us, policy.K, policy.k, xs[:-1], g_z, xnoise),
         )
         # terminal cost keeps the line-search objective consistent with the
         # quadratized subproblem (unlike the reference iLQR, whose forward
@@ -97,13 +104,28 @@ class SQP(Solver):
         alphas = self.alphas
 
         def body(carry, _):
-            us, reg, done = carry
-            xs, cost = simulate_trajectory(model, x, us, g_z)
+            us, reg, done, key = carry
+            if self.model_noise_std > 0.0:
+                key, k_sim, k_fwd = jax.random.split(key, 3)
+                nz_sim = self.model_noise_std * jax.random.normal(
+                    k_sim, (self.T, model.state_size), jnp.float32
+                )
+                xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
+            else:
+                xs, cost = simulate_trajectory(model, x, us, g_z)
             cost = cost + model.final_cost(xs[-1], g_z[-1])
             policy = self._subproblem(xs, us, g_z, reg)
-            cand_us, cand_costs = jax.vmap(
-                lambda a: self._try_step(a, policy, xs, us, g_z)
-            )(alphas)
+            if self.model_noise_std > 0.0:
+                nz_fwd = self.model_noise_std * jax.random.normal(
+                    k_fwd, (self.n_alphas, self.T, model.state_size), jnp.float32
+                )
+                cand_us, cand_costs = jax.vmap(
+                    lambda a, nz: self._try_step(a, policy, xs, us, g_z, nz)
+                )(alphas, nz_fwd)
+            else:
+                cand_us, cand_costs = jax.vmap(
+                    lambda a: self._try_step(a, policy, xs, us, g_z)
+                )(alphas)
             best = jnp.argmin(cand_costs)
             best_cost = cand_costs[best]
             improved = best_cost < cost - self.tol * jnp.abs(cost)
@@ -115,13 +137,14 @@ class SQP(Solver):
                 jnp.minimum(reg * self.reg_factor, self.reg_max),
             )
             done = jnp.logical_or(done, ~improved)
-            return (us, reg, done), None
+            return (us, reg, done, key), None
 
-        (us, _, _), _ = lax.scan(
+        (us, _, _, key), _ = lax.scan(
             body,
-            (state.planned_us, jnp.float32(self.reg_init), jnp.bool_(False)),
+            (state.planned_us, jnp.float32(self.reg_init), jnp.bool_(False),
+             state.key),
             None,
             length=self.max_iter,
         )
         us = jnp.clip(us, model.lo, model.hi)
-        return SQPState(us, state.key), us[0], {}
+        return SQPState(us, key), us[0], {}

@@ -17,6 +17,10 @@ SOLVER_CONFIGS = {
 
 QUICK_CONFIGS = {
     "MPPI": {"K": 8, "T": 5, "std": 1.0, "lam": 0.1},
+    # ILQR in quick mode exercises the derivative-solver planning-model-noise
+    # path (reference noises the planning model for every agent,
+    # Experiment.py:58-60)
+    "ILQR": {"T": 5, "max_iter": 3, "threshold": 1e-3, "closed_loop": False},
 }
 
 
