@@ -110,7 +110,13 @@ class ILQR(Solver):
         return 1.1 ** (-jnp.arange(self.n_alphas, dtype=jnp.float32) ** 2)
 
     # -- derivative stage ------------------------------------------------------
-    def derivatives(self, xs, us, g_z) -> _Derivs:
+    def derivatives(self, xs, us, g_z, ref_terminal: bool = False) -> _Derivs:
+        """``ref_terminal=True`` (set by the diag_hessian compat mode)
+        evaluates the terminal-cost derivatives at x_{T-1} instead of x_T,
+        replicating the reference quirk where ``_calc_action`` passes the
+        truncated ``xs[:-1]`` into ``derivatives`` and the terminal stage
+        then reads the truncated array's last row
+        (``agents/ilqr.py:132-133,267-271``)."""
         model = self.model
         S = model.state_size
 
@@ -140,8 +146,9 @@ class ILQR(Solver):
         def ct(x):
             return model.final_cost(x, g_z[-1])
 
-        lx_T = jax.grad(ct)(xs[-1])
-        lxx_T = jax.hessian(ct)(xs[-1])
+        x_term = xs[-2] if ref_terminal else xs[-1]
+        lx_T = jax.grad(ct)(x_term)
+        lxx_T = jax.hessian(ct)(x_term)
         return _Derivs(
             jnp.concatenate([l_x, lx_T[None]], axis=0),
             l_u,
@@ -369,7 +376,7 @@ class ILQR(Solver):
                 xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
             else:
                 xs, cost = simulate_trajectory(model, x, us, g_z)
-            d = self.derivatives(xs, us, g_z)
+            d = self.derivatives(xs, us, g_z, ref_terminal=self.diag_hessian)
             if self.diag_hessian:
                 ks, Ks, bp_ok = self.backward_pass_ref(d, mu)
             else:
