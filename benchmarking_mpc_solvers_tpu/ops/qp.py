@@ -225,9 +225,9 @@ def ip_solve(qp: CondensedQP, iters: int = 25, mu0: float = 1.0, kappa: float = 
     return jnp.clip(U, lo, hi)
 
 
-def admm_solve_riccati(
+def admm_solve_riccati_batch(
     dyn: AffineDynamics,
-    x0,
+    x0s,
     Q,
     R,
     Qf,
@@ -238,8 +238,9 @@ def admm_solve_riccati(
     rho: float = 1.0,
     iters: int = 100,
     eps: float = 1e-6,
+    parallel_horizon: bool = False,
 ):
-    """ADMM for the box-constrained LQ-MPC problem with a *Riccati* x-update.
+    """Batched ADMM for box-constrained LQ-MPC with a *Riccati* x-update.
 
     Condensing an unstable system over a long horizon squares an
     exponentially-conditioned Su into H — cond(H) ~ ρ(A)^{2T} overflows f32
@@ -248,41 +249,45 @@ def admm_solve_riccati(
 
         min_U  J_LQ(U) + (ρ/2)‖U − (z − y)‖²
 
-    is itself an unconstrained time-varying LQR (control penalty ρ, linear
-    term −ρ(z−y)) solved by the numerically-stable Riccati scan each
-    iteration. O(T) memory, stable for unstable plants, and the scan body is
-    tiny fused linalg on the MXU.
+    is an unconstrained time-varying LQR (control penalty ρ, linear term
+    −ρ(z−y)). Dynamics and weights are shared across the batch and across
+    iterations, so the quadratic Riccati factors (P, K, Q_uu⁻¹) are computed
+    ONCE (``ops/riccati.py:riccati_factors``) and every iteration's u-update
+    is just the linear backward/forward affine scans batched over scenarios
+    — (B, S) × (S, S) MXU matmuls per step, no per-iteration factorization.
 
-    Returns (us (T,A), r_prim, r_dual, iters).
+    x0s: (B, S). Early exit when the worst-case residuals over the whole
+    batch drop below eps. ``parallel_horizon`` switches the three horizon
+    recursions (P precompute + per-iteration backward/forward) to O(log T)
+    associative scans — profitable for long horizons (crossover measured in
+    ``scripts/bench_riccati.py``). Returns (us (B, T, A), r_prim, r_dual,
+    iters).
     """
-    from .riccati import tvlqr_backward, tvlqr_rollout
+    from .riccati import riccati_factors, tvlqr_solve_linear_batch
 
     T, S, nA = dyn.B.shape
+    Bn = x0s.shape[0]
     Q2 = jnp.broadcast_to(2.0 * Q, (T, S, S))
     q2 = jnp.broadcast_to(-2.0 * (Q @ xref), (T, S))
     R2 = jnp.broadcast_to(
         2.0 * R + rho * jnp.eye(nA, dtype=jnp.float32), (T, nA, nA)
     )
     M0 = jnp.zeros((T, nA, S), jnp.float32)
-    lo = jnp.broadcast_to(jnp.asarray(u_lo, jnp.float32), (T, nA))
-    hi = jnp.broadcast_to(jnp.asarray(u_hi, jnp.float32), (T, nA))
+    lo = jnp.asarray(u_lo, jnp.float32)  # (A,) broadcasts over (T, B, A)
+    hi = jnp.asarray(u_hi, jnp.float32)
     r_base = jnp.broadcast_to(-2.0 * (R @ uref), (T, nA))
+    qf = -2.0 * (Qf @ xref)
 
     with jax.default_matmul_precision("highest"):
+        cost = QuadCost(Q=Q2, R=R2, M=M0, q=q2, r=r_base, Qf=2.0 * Qf, qf=qf)
+        factors = riccati_factors(dyn, cost, parallel=parallel_horizon)
+        x0s = jnp.asarray(x0s, jnp.float32)
 
         def u_update(z, y):
-            cost = QuadCost(
-                Q=Q2,
-                R=R2,
-                M=M0,
-                q=q2,
-                r=r_base - rho * (z - y),
-                Qf=2.0 * Qf,
-                qf=-2.0 * (Qf @ xref),
+            rs = r_base[:, None, :] - rho * (z - y)  # (T, B, A)
+            return tvlqr_solve_linear_batch(
+                dyn, factors, q2, qf, rs, x0s, parallel=parallel_horizon
             )
-            policy = tvlqr_backward(dyn, cost)
-            _, us = tvlqr_rollout(dyn, policy, jnp.asarray(x0, jnp.float32))
-            return us
 
         def cond_fn(carry):
             i, _z, _y, r_p, r_d = carry
@@ -299,11 +304,37 @@ def admm_solve_riccati(
             return (i + 1, z_new, y, r_p, r_d)
 
         big = jnp.float32(jnp.inf)
-        z0 = jnp.zeros((T, nA), jnp.float32)
+        z0 = jnp.zeros((T, Bn, nA), jnp.float32)
         i, z, _y, r_p, r_d = lax.while_loop(
             cond_fn, body_fn, (jnp.int32(0), z0, z0, big, big)
         )
-    return z, r_p, r_d, i
+    return jnp.swapaxes(z, 0, 1), r_p, r_d, i
+
+
+def admm_solve_riccati(
+    dyn: AffineDynamics,
+    x0,
+    Q,
+    R,
+    Qf,
+    xref,
+    uref,
+    u_lo,
+    u_hi,
+    rho: float = 1.0,
+    iters: int = 100,
+    eps: float = 1e-6,
+    parallel_horizon: bool = False,
+):
+    """Single-scenario ``admm_solve_riccati_batch`` (B = 1).
+
+    Returns (us (T,A), r_prim, r_dual, iters)."""
+    us, r_p, r_d, i = admm_solve_riccati_batch(
+        dyn, jnp.asarray(x0, jnp.float32)[None], Q, R, Qf, xref, uref,
+        u_lo, u_hi, rho=rho, iters=iters, eps=eps,
+        parallel_horizon=parallel_horizon,
+    )
+    return us[0], r_p, r_d, i
 
 
 

@@ -25,7 +25,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.linearize import AffineDynamics
-from ..ops.qp import admm_solve, admm_solve_riccati, condense, condense_batch, ip_solve
+from ..ops.qp import (
+    admm_solve,
+    admm_solve_riccati,
+    admm_solve_riccati_batch,
+    condense,
+    condense_batch,
+    ip_solve,
+)
 from .base import Solver
 
 
@@ -54,6 +61,10 @@ class QPMPC(Solver):
     # reference's per-predict state noise (models/model.py:42-43) lands on
     # the affine term c — the planned trajectory is perturbed accordingly
     model_noise_std: float = 0.0
+    # evaluate the horizon recursions with O(log T) associative scans instead
+    # of sequential lax.scan — profitable at long horizons (crossover
+    # benchmarked in scripts/bench_riccati.py; riccati_admm method only)
+    parallel_horizon: bool = False
 
     def _weights(self):
         """Gauss-Newton (Q, R, Qf) from the model's feature-space quadratic,
@@ -120,6 +131,7 @@ class QPMPC(Solver):
                 us, _, _, _ = admm_solve_riccati(
                     dyn, x, Q, R, Qf, xref, uref, model.lo, model.hi,
                     rho=self.rho, iters=self.iters, eps=self.eps,
+                    parallel_horizon=self.parallel_horizon,
                 )
                 planned = us
             else:
@@ -143,21 +155,43 @@ class QPMPC(Solver):
         )
 
     def solve_batch(self, state: QPMPCState, xs, g_z):
-        """Batched solve over B scenarios. ``method='admm'`` runs the
-        blocked Pallas ADMM kernel (``ops/qp_pallas.py``): shared-H MXU
-        matvecs when ``linearize_at='goal'`` (H is scenario-independent;
-        only g varies with x₀), per-scenario VMEM-resident factorizations
-        for LTV (``'state'``). Fixed ``iters`` iterations (the batch runs
-        lock-step; ``eps`` early-exit applies only to the scalar path).
-        Other methods — and the noised-planning-model mode, which needs
-        per-scenario keyed residual noise — fall back to a vmapped scalar
-        solve."""
+        """Batched solve over B scenarios.
+
+        ``method='riccati_admm'`` (the default, and BASELINE config 2's
+        box-QP path) shares the quadratic Riccati factors across the batch
+        and all ADMM iterations — each iteration is a linear backward /
+        forward affine scan of (B, S) MXU matmuls
+        (``ops/qp.py:admm_solve_riccati_batch``); requires the shared
+        linearization of ``linearize_at='goal'``.
+
+        ``method='admm'`` runs the blocked Pallas ADMM kernel
+        (``ops/qp_pallas.py``): shared-H MXU matvecs at ``'goal'``,
+        per-scenario VMEM-resident factorizations for LTV (``'state'``).
+
+        Everything else — 'ip', LTV riccati_admm, and the
+        noised-planning-model mode, which needs per-scenario keyed residual
+        noise — falls back to a vmapped scalar solve."""
+        model = self.model
+        if (
+            self.method == "riccati_admm"
+            and self.linearize_at == "goal"
+            and self.model_noise_std == 0.0
+        ):
+            with jax.default_matmul_precision("highest"):
+                dyn = self._linearize(xs[0])  # x ignored at 'goal'
+                Q, R, Qf = self._weights()
+                us, _, _, _ = admm_solve_riccati_batch(
+                    dyn, xs, Q, R, Qf, self._goal_state(),
+                    jnp.zeros((model.action_size,), jnp.float32),
+                    model.lo, model.hi, rho=self.rho, iters=self.iters,
+                    eps=self.eps, parallel_horizon=self.parallel_horizon,
+                )
+            return QPMPCState(us, state.key), us[:, 0], {}
         if self.method != "admm" or self.model_noise_std > 0.0:
             return jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
 
         from ..ops.qp_pallas import admm_iterate
 
-        model = self.model
         B = xs.shape[0]
         with jax.default_matmul_precision("highest"):
             Q, R, Qf = self._weights()

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.linearize import linearize_dynamics, quadratize_cost
-from ..ops.riccati import tvlqr_backward
+from ..ops.riccati import tvlqr_backward, tvlqr_backward_assoc_general
 from ..ops.rollout import rollout, simulate_trajectory, simulate_trajectory_noisy
 from .base import Solver
 
@@ -51,6 +51,9 @@ class SQP(Solver):
     # stays clean at the noisy points — the reference's noisy-predict /
     # clean-closure split (models/model.py:42-43 vs agents/ilqr.py:57-81)
     model_noise_std: float = 0.0
+    # solve the Riccati subproblem with the O(log T) associative scan —
+    # profitable at long horizons (crossover in scripts/bench_riccati.py)
+    parallel_horizon: bool = False
 
     def init_state(self, key) -> SQPState:
         return SQPState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
@@ -69,6 +72,8 @@ class SQP(Solver):
         cost = cost._replace(
             R=cost.R + reg * jnp.eye(self.model.action_size, dtype=jnp.float32)[None]
         )
+        if self.parallel_horizon:
+            return tvlqr_backward_assoc_general(dyn, cost)
         return tvlqr_backward(dyn, cost, reg=0.0)
 
     def _try_step(self, alpha, policy, xs, us, g_z, xnoise=None):

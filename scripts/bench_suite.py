@@ -118,9 +118,13 @@ def main():
     x0s = jnp.tile(jnp.array([0.3, 0.0, 0.4, 0.0], jnp.float32), (B, 1))
 
     def run2(key, jitter=False):
+        # batched path: one shared Riccati factorization, linear-scan ADMM
+        # iterations over the whole batch (ops/qp.py:admm_solve_riccati_batch)
+        from benchmarking_mpc_solvers_tpu.experiment import run_episodes_fused
+
         keys = jax.random.split(key, B)
         x0 = x0s + (1e-3 * jax.random.normal(key, x0s.shape) if jitter else 0.0)
-        return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
+        return run_episodes_fused(env, solver, cfg, keys, x0)
 
     per_call = timed_per_call(lambda k: run2(k, True).costs.sum(),
                               inner_reps=3 if q else 7, outer_reps=1 if q else 2)

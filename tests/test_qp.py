@@ -274,3 +274,169 @@ def test_riccati_admm_matches_condensed_admm_on_stable_system():
     )
     np.testing.assert_allclose(np.asarray(us.ravel()), np.asarray(U_dense), atol=2e-3)
     assert float(r_p) < 1e-6 and float(r_d) < 1e-6
+
+
+def test_riccati_admm_batch_matches_scalar():
+    """The batched shared-factor path (one quadratic Riccati, per-iteration
+    linear scans — ops/qp.py:admm_solve_riccati_batch) must agree with B
+    independent scalar solves."""
+    from benchmarking_mpc_solvers_tpu.ops import (
+        admm_solve_riccati,
+        admm_solve_riccati_batch,
+    )
+
+    T = 12
+    dyn, Q, R, Qf = double_integrator(T)
+    rng = np.random.default_rng(0)
+    x0s = jnp.float32(rng.uniform(-3, 3, (5, 2)))
+    us_b, r_p, r_d, _ = admm_solve_riccati_batch(
+        dyn, x0s, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0,
+        iters=400, eps=1e-8,
+    )
+    for b in range(5):
+        us_s, _, _, _ = admm_solve_riccati(
+            dyn, x0s[b], Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0,
+            iters=400, eps=1e-8,
+        )
+        np.testing.assert_allclose(
+            np.asarray(us_b[b]), np.asarray(us_s), rtol=1e-4, atol=1e-5
+        )
+    assert float(r_p) < 1e-6 and float(r_d) < 1e-6
+
+
+def test_riccati_admm_parallel_horizon_matches_sequential():
+    """parallel_horizon=True (associative-scan P precompute + linear
+    backward/forward) must reproduce the sequential solution."""
+    from benchmarking_mpc_solvers_tpu.ops import admm_solve_riccati_batch
+
+    T = 32
+    dyn, Q, R, Qf = double_integrator(T)
+    rng = np.random.default_rng(1)
+    x0s = jnp.float32(rng.uniform(-3, 3, (4, 2)))
+    kw = dict(iters=300, eps=1e-8)
+    us_seq, _, _, _ = admm_solve_riccati_batch(
+        dyn, x0s, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0, **kw
+    )
+    us_par, _, _, _ = admm_solve_riccati_batch(
+        dyn, x0s, Q, R, Qf, jnp.zeros(2), jnp.zeros(1), -1.0, 1.0,
+        parallel_horizon=True, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(us_par), np.asarray(us_seq), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_riccati_factors_linear_solve_matches_tvlqr():
+    """riccati_factors + tvlqr_solve_linear_batch == full tvlqr_backward +
+    rollout for shared dynamics with per-scenario linear terms."""
+    from benchmarking_mpc_solvers_tpu.ops import (
+        riccati_factors,
+        tvlqr_rollout as _roll,
+        tvlqr_solve_linear_batch,
+    )
+
+    T, B = 10, 3
+    dyn, Q, R, Qf = double_integrator(T)
+    rng = np.random.default_rng(2)
+    q = jnp.float32(rng.uniform(-1, 1, (T, 2)))
+    qf = jnp.float32(rng.uniform(-1, 1, 2))
+    rs = jnp.float32(rng.uniform(-1, 1, (T, B, 1)))
+    x0s = jnp.float32(rng.uniform(-2, 2, (B, 2)))
+    cost0 = QuadCost(
+        Q=jnp.broadcast_to(Q, (T, 2, 2)), R=jnp.broadcast_to(R, (T, 1, 1)),
+        M=jnp.zeros((T, 1, 2), jnp.float32), q=q, r=rs[:, 0], Qf=Qf, qf=qf,
+    )
+    with jax.default_matmul_precision("highest"):
+        f = riccati_factors(dyn, cost0)
+        us = tvlqr_solve_linear_batch(dyn, f, q, qf, rs, x0s)
+        for b in range(B):
+            cost_b = cost0._replace(r=rs[:, b])
+            pol = tvlqr_backward(dyn, cost_b)
+            _, want = _roll(dyn, pol, x0s[b])
+            np.testing.assert_allclose(
+                np.asarray(us[:, b]), np.asarray(want), rtol=1e-4, atol=1e-5
+            )
+
+
+def test_qpmpc_batched_riccati_admm_matches_scalar_solve():
+    """QPMPC.solve_batch on the default riccati_admm method (BASELINE
+    config 2's path) == vmapped scalar QPMPC.solve."""
+    solver = QPMPC(model=PendulumModel, T=15, iters=80)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state_b = solver.init_state_batch(keys)
+    rng = np.random.default_rng(3)
+    xs = jnp.float32(rng.uniform(-0.5, 0.5, (4, 2)))
+    g_z = jnp.zeros((15, 3), jnp.float32)
+    _, u0_b, _ = solver.solve_batch(state_b, xs, g_z)
+    for b in range(4):
+        st = solver.init_state(keys[b])
+        _, u0_s, _ = solver.solve(st, xs[b], g_z)
+        np.testing.assert_allclose(
+            np.asarray(u0_b[b]), np.asarray(u0_s), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_assoc_riccati_general_handles_cross_terms():
+    """tvlqr_backward_assoc_general (ũ = u + R⁻¹Mx substitution) == the
+    sequential recursion on a problem with nonzero cross terms M."""
+    from benchmarking_mpc_solvers_tpu.ops.riccati import tvlqr_backward_assoc_general
+
+    T = 12
+    dyn, Q, R, Qf = double_integrator(T)
+    rng = np.random.default_rng(5)
+    cost = QuadCost(
+        Q=jnp.broadcast_to(2 * Q, (T, 2, 2)),
+        R=jnp.broadcast_to(2 * R, (T, 1, 1)),
+        M=jnp.float32(rng.uniform(-0.3, 0.3, (T, 1, 2))),
+        q=jnp.float32(rng.uniform(-1, 1, (T, 2))),
+        r=jnp.float32(rng.uniform(-1, 1, (T, 1))),
+        Qf=2 * Qf,
+        qf=jnp.float32(rng.uniform(-1, 1, 2)),
+    )
+    with jax.default_matmul_precision("highest"):
+        seq = tvlqr_backward(dyn, cost)
+        par = tvlqr_backward_assoc_general(dyn, cost)
+    np.testing.assert_allclose(np.asarray(par.K), np.asarray(seq.K), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(par.k), np.asarray(seq.k), rtol=1e-3, atol=1e-4)
+
+
+def test_sqp_parallel_horizon_matches_sequential():
+    from benchmarking_mpc_solvers_tpu.models import AcrobotModel
+
+    T = 20
+    x0 = jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 5), jnp.float32)
+    plans = {}
+    for par in (False, True):
+        solver = SQP(model=AcrobotModel, T=T, max_iter=4, parallel_horizon=par)
+        state = solver.init_state(jax.random.PRNGKey(0))
+        state, _, _ = jax.jit(solver.solve)(state, x0, g_z)
+        plans[par] = np.asarray(state.planned_us)
+    np.testing.assert_allclose(plans[True], plans[False], rtol=1e-3, atol=2e-4)
+
+
+def test_qpmpc_fused_episode_matches_vmapped():
+    """run_episodes_fused with QPMPC (batched shared-factor riccati_admm)
+    == the vmapped scalar run_episode closed loop."""
+    from benchmarking_mpc_solvers_tpu.envs import PendulumEnv
+    from benchmarking_mpc_solvers_tpu.experiment import (
+        EpisodeConfig,
+        run_episodes_batch,
+        run_episodes_fused,
+    )
+
+    env = PendulumEnv
+    solver = QPMPC(model=env.model, T=12, iters=60)
+    cfg = EpisodeConfig(n_steps=6, record_plans=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    rng = np.random.default_rng(7)
+    x0s = jnp.float32(rng.uniform(-0.5, 0.5, (3, 2)))
+    fused = jax.jit(lambda k, x: run_episodes_fused(env, solver, cfg, k, x))(keys, x0s)
+    plain = jax.jit(lambda k, x: run_episodes_batch(env, solver, cfg, k, x))(keys, x0s)
+    np.testing.assert_allclose(
+        np.asarray(fused.true_actions), np.asarray(plain.true_actions),
+        rtol=1e-4, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused.costs), np.asarray(plain.costs), rtol=1e-4, atol=1e-5
+    )
