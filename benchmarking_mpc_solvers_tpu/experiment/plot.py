@@ -123,3 +123,105 @@ def plot_cost_bands(
     ax.legend()
     fig.tight_layout()
     return fig
+
+
+def plot_ilqr_line_search(solver, state, x, g_z, out_dir,
+                          step_iteration: int = 0):
+    """iLQR line-search debug plots — the reference's ``save_plots`` mode
+    (``agents/ilqr.py:156-185``): one figure per (outer iteration, alpha)
+    showing the pre-line-search trajectory, the current best, and the
+    candidate forward pass per state dimension, plus the action rows with
+    old/new cost in the title. Runs the solver outer loop at host level
+    (python loops over jitted stages) so every candidate is observable;
+    returns the written file paths.
+
+    Reproduces the reference's accept/convergence replay (``ilqr.py:149-206``)
+    including the μ/δ schedule, so the plotted sequence is the sequence the
+    compiled ``reference_accept`` solve executes.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    model = solver.model
+    S, A = model.state_size, model.action_size
+    os.makedirs(out_dir, exist_ok=True)
+    from ..ops.rollout import simulate_trajectory
+
+    lo = np.asarray(model.lo)
+    hi = np.asarray(model.hi)
+    alphas = np.asarray(solver.alphas)
+    written = []
+
+    with jax.default_matmul_precision("highest"):
+        us = jnp.asarray(state.planned_us)
+        mu, delta = 1.0, solver.delta_zero
+        converged = False
+        for it in range(solver.max_iter):
+            mu = float(np.clip(mu, solver.mu_min, solver.mu_max))
+            xs, cost = simulate_trajectory(model, x, us, g_z)
+            d = solver.derivatives(xs, us, g_z, ref_terminal=solver.diag_hessian)
+            if solver.diag_hessian:
+                ks, Ks, ok = solver.backward_pass_ref(d, jnp.float32(mu))
+            else:
+                ks, Ks, ok = solver.backward_pass(d, jnp.float32(mu))
+            if not bool(ok):
+                delta = max(solver.delta_zero, delta * solver.delta_zero)
+                mu = max(solver.mu_min, mu * delta)
+                continue
+            us = jnp.clip(us, model.lo, model.hi)
+            test_us, test_xs = us, xs
+            cost = float(cost)
+            accepted = False
+            for j, alpha in enumerate(alphas):
+                new_xs, new_us, new_cost = solver.forward_pass(
+                    jnp.float32(alpha), ks, Ks, test_xs, test_us, g_z
+                )
+                new_cost = float(new_cost)
+
+                fig = plt.figure(figsize=(16, 10))
+                ax = fig.subplots(nrows=S + A)
+                ax[0].set_title(
+                    f"Timestep:{step_iteration}  Iteration:{it}  "
+                    f"Mu:{mu:g} Alpha:{alpha:g}"
+                )
+                for i in range(S):
+                    ax[i].plot(np.asarray(test_xs)[:, i], alpha=0.4,
+                               label=f"org_xs_{i}")
+                    ax[i].plot(np.asarray(xs)[:, i], label=f"x_{i}")
+                    ax[i].plot(np.asarray(new_xs)[:, i], linestyle="--",
+                               label=f"x_hat_forward{i}")
+                    ax[i].legend(loc="upper left")
+                ax[1].set_title(f"Old Cost: {cost} Cost_Hat: {new_cost}")
+                for i in range(A):
+                    axi = ax[S + i]
+                    axi.plot(np.asarray(test_us)[:, i], alpha=0.4, label="org_u")
+                    axi.plot(np.asarray(us)[:, i], label=f"u_{i}")
+                    axi.plot(np.asarray(new_us)[:, i], linestyle="--",
+                             label=f"u_hat_forward_{i}")
+                    axi.set_ylim(float(lo[i]) * 1.1, float(hi[i]) * 1.1)
+                    axi.legend(loc="upper left")
+                path = os.path.join(
+                    out_dir,
+                    f"step_{step_iteration}_iter_{it}_alpha_{j}_state_action.png",
+                )
+                fig.savefig(path)
+                plt.close(fig)
+                written.append(path)
+
+                if new_cost < cost:
+                    cost = new_cost
+                    xs, us = new_xs, new_us
+                    delta = min(1 / solver.delta_zero, delta / solver.delta_zero)
+                    mu = 0.0 if mu * delta < solver.mu_min else mu * delta
+                    accepted = True
+                if cost != 0 and abs((cost - new_cost) / cost) < solver.threshold:
+                    converged = True
+                    break
+            if not accepted:
+                delta = max(solver.delta_zero, delta * solver.delta_zero)
+                mu = max(solver.mu_min, mu * delta)
+            if converged:
+                break
+    return written

@@ -158,3 +158,23 @@ def test_timed_per_step_mode():
     assert res["env_states"].shape == (6, 2)
     assert res["warmstart_trajectories"].shape == (2, 5, 1)
     assert np.all(np.isfinite(res["env_costs"]))
+
+
+def test_ilqr_line_search_debug_plots(tmp_path):
+    """The reference's iLQR save_plots capability (agents/ilqr.py:156-185):
+    one figure per (iteration, alpha) candidate."""
+    import jax
+    import jax.numpy as jnp
+
+    from benchmarking_mpc_solvers_tpu.experiment import plot_ilqr_line_search
+    from benchmarking_mpc_solvers_tpu.models import PendulumModel
+    from benchmarking_mpc_solvers_tpu.solvers import ILQR
+
+    solver = ILQR(model=PendulumModel, T=8, max_iter=2, threshold=1e-3)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    g_z = jnp.zeros((8, 3), jnp.float32)
+    x0 = jnp.array([np.pi, 0.0], jnp.float32)
+    paths = plot_ilqr_line_search(solver, state, x0, g_z, str(tmp_path))
+    assert paths, "no line-search figures written"
+    for p in paths:
+        assert (tmp_path / p.split("/")[-1]).exists()
