@@ -40,6 +40,17 @@ class Solver:
         """One full solver invocation (the reference ``_calc_action``)."""
         raise NotImplementedError
 
+    # -- batched fallbacks (overridden by solvers with fused fast paths) ------
+    def init_state_batch(self, keys):
+        """Batched state from per-scenario keys (B, 2); generic vmap."""
+        return jax.vmap(self.init_state)(keys)
+
+    def solve_batch(self, state, xs, g_z):
+        """One solve for B scenarios; generic vmap over ``solve``. Solvers
+        with dedicated batched paths (MPPI/CEM fused Pallas, QPMPC
+        shared-factor Riccati-ADMM) override this."""
+        return jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
+
     # -- shared helpers -------------------------------------------------------
     @property
     def goal_size(self) -> int:

@@ -89,3 +89,31 @@ def test_run_episodes_batch_matches_single():
     np.testing.assert_allclose(
         np.asarray(batch.costs[1]), np.asarray(single.costs), rtol=1e-4, atol=1e-5
     )
+
+
+def test_fused_episode_generic_fallback_ilqr():
+    """run_episodes_fused works for solvers without a dedicated batched path
+    via the base-class vmapped solve_batch, and matches run_episodes_batch."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarking_mpc_solvers_tpu.envs import PendulumEnv
+    from benchmarking_mpc_solvers_tpu.experiment import (
+        EpisodeConfig,
+        run_episodes_batch,
+        run_episodes_fused,
+    )
+    from benchmarking_mpc_solvers_tpu.solvers import ILQR
+
+    env = PendulumEnv
+    solver = ILQR(model=env.model, T=8, max_iter=2, reference_accept=False)
+    cfg = EpisodeConfig(n_steps=4, record_plans=True)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    x0s = jnp.tile(jnp.array([np.pi, 0.0], jnp.float32), (3, 1))
+    fused = jax.jit(lambda k, x: run_episodes_fused(env, solver, cfg, k, x))(keys, x0s)
+    plain = jax.jit(lambda k, x: run_episodes_batch(env, solver, cfg, k, x))(keys, x0s)
+    np.testing.assert_allclose(
+        np.asarray(fused.true_actions), np.asarray(plain.true_actions),
+        rtol=1e-5, atol=1e-6,
+    )
