@@ -46,6 +46,26 @@ class TVLQRPolicy(NamedTuple):
     k: jnp.ndarray  # (T, A)
 
 
+def _solve_gains(Q_uu, rhs):
+    """``Q_uu⁻¹ rhs`` with a scalar fast path for single-input systems.
+
+    Inside the sequential Riccati scans the general ``linalg.solve`` on a
+    (1,1) block is a full lax.linalg kernel per step — measured to dominate
+    the whole backward pass on TPU (see ``solvers/ilqr.py:backward_pass``).
+    All shipped benchmark plants have action_size == 1.
+    """
+    if Q_uu.shape[-1] == 1:
+        return rhs / Q_uu[..., :1, :]
+    return jnp.linalg.solve(Q_uu, rhs)
+
+
+def _inv_quu(Q_uu):
+    """``Q_uu⁻¹`` with the same scalar fast path as ``_solve_gains``."""
+    if Q_uu.shape[-1] == 1:
+        return 1.0 / Q_uu
+    return jnp.linalg.inv(Q_uu)
+
+
 def tvlqr_backward(dyn: AffineDynamics, cost: QuadCost, reg: float = 0.0) -> TVLQRPolicy:
     """Backward Riccati recursion; returns the affine policy u = K x + k."""
     S = dyn.A.shape[-1]
@@ -61,7 +81,7 @@ def tvlqr_backward(dyn: AffineDynamics, cost: QuadCost, reg: float = 0.0) -> TVL
         Q_xx = Q + A.T @ P @ A
         Q_uu = R + B.T @ P_reg @ B
         Q_ux = M + B.T @ P_reg @ A
-        sol = jnp.linalg.solve(Q_uu, jnp.concatenate([Q_u[:, None], Q_ux], axis=1))
+        sol = _solve_gains(Q_uu, jnp.concatenate([Q_u[:, None], Q_ux], axis=1))
         k = -sol[:, 0]
         K = -sol[:, 1:]
         P_new = Q_xx + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
@@ -113,7 +133,7 @@ def riccati_factors(dyn: AffineDynamics, cost: QuadCost,
         def factor(A_t, B_t, c_t, Q_t, R_t, M_t, P1):
             Q_uu = R_t + B_t.T @ P1 @ B_t
             Q_ux = M_t + B_t.T @ P1 @ A_t
-            Quu_inv = jnp.linalg.inv(Q_uu)
+            Quu_inv = _inv_quu(Q_uu)
             K = -Quu_inv @ Q_ux
             return K, Quu_inv, Q_ux, A_t + B_t @ K, P1 @ c_t
 
@@ -126,7 +146,7 @@ def riccati_factors(dyn: AffineDynamics, cost: QuadCost,
         A_t, B_t, c_t, Q_t, R_t, M_t = inp
         Q_uu = R_t + B_t.T @ P @ B_t
         Q_ux = M_t + B_t.T @ P @ A_t
-        Quu_inv = jnp.linalg.inv(Q_uu)
+        Quu_inv = _inv_quu(Q_uu)
         K = -Quu_inv @ Q_ux
         P_new = Q_t + A_t.T @ P @ A_t + K.T @ Q_uu @ K + K.T @ Q_ux + Q_ux.T @ K
         P_new = 0.5 * (P_new + P_new.T)
@@ -230,7 +250,7 @@ def tvlqr_values_assoc(dyn: AffineDynamics, cost: QuadCost):
     A, B = dyn.A, dyn.B
     T, S, nA = B.shape
     with jax.default_matmul_precision("highest"):
-        Rinv = jnp.linalg.inv(cost.R)
+        Rinv = _inv_quu(cost.R)
         C_el = jnp.einsum("tij,tjk,tlk->til", B, Rinv, B)
         b_el = dyn.c - jnp.einsum("tij,tjk,tk->ti", B, Rinv, cost.r)
         els = _RicEl(A, b_el, C_el, cost.Q, cost.q)
@@ -256,7 +276,7 @@ def tvlqr_backward_assoc_general(dyn: AffineDynamics, cost: QuadCost) -> TVLQRPo
         policy maps back as K = K̃ − R⁻¹M, k = k̃.
     """
     with jax.default_matmul_precision("highest"):
-        RinvM = jnp.linalg.solve(cost.R, cost.M)  # (T, A, S)
+        RinvM = _solve_gains(cost.R, cost.M)  # (T, A, S)
         A2 = dyn.A - jnp.einsum("tia,tas->tis", dyn.B, RinvM)
         Q2 = cost.Q - jnp.einsum("tas,tau->tsu", cost.M, RinvM)
         q2 = cost.q - jnp.einsum("tas,ta->ts", RinvM, cost.r)
@@ -342,7 +362,7 @@ def tvlqr_backward_assoc(dyn: AffineDynamics, cost: QuadCost) -> TVLQRPolicy:
     T, S, nA = B.shape
 
     with jax.default_matmul_precision("highest"):
-        Rinv = jnp.linalg.inv(R)
+        Rinv = _inv_quu(R)
         # per-step elements: value-passing form
         #   A_el = A, b_el = c − B R⁻¹ r, C_el = B R⁻¹ Bᵀ, P_el = Q, p_el = q
         b_el = c - jnp.einsum("tij,tjk,tk->ti", B, Rinv, r)
@@ -368,7 +388,7 @@ def tvlqr_backward_assoc(dyn: AffineDynamics, cost: QuadCost) -> TVLQRPolicy:
             Q_uu = R_t + B_t.T @ P1 @ B_t
             rhs = r_t + B_t.T @ (P1 @ c_t + p1)
             Q_ux = B_t.T @ P1 @ A_t
-            sol = jnp.linalg.solve(Q_uu, jnp.concatenate([rhs[:, None], Q_ux], 1))
+            sol = _solve_gains(Q_uu, jnp.concatenate([rhs[:, None], Q_ux], 1))
             return -sol[:, 1:], -sol[:, 0]
 
         K, k = jax.vmap(gains)(A, B, c, R, r, P_next, p_next)

@@ -211,12 +211,25 @@ class ILQR(Solver):
             Q_ux = l_ux + f_u.T @ V_xx @ f_x + vf_ux
             Q_uu_reg = l_uu + f_u.T @ V_reg @ f_u + vf_uu
             Q_ux_reg = l_ux + f_u.T @ V_reg @ f_x + vf_ux
-            chol = jnp.linalg.cholesky(Q_uu_reg)
-            ok = jnp.all(jnp.isfinite(chol))
-            chol_safe = jnp.where(jnp.isfinite(chol), chol, jnp.eye(Q_uu.shape[0]))
-            kK = jax.scipy.linalg.cho_solve(
-                (chol_safe, True), jnp.concatenate([Q_u[:, None], Q_ux_reg], axis=1)
-            )
+            rhs = jnp.concatenate([Q_u[:, None], Q_ux_reg], axis=1)
+            if Q_uu.shape[0] == 1:
+                # Scalar-action fast path: the Cholesky of a (1,1) matrix is
+                # a sqrt and the solve a division. The general lax.linalg
+                # kernels on (1,1) blocks dominated the batched backward scan
+                # on TPU (4.7 ms of a 5.7 ms iLQR iteration at B=1024,
+                # T=100); this path drops them entirely. Positivity check is
+                # exact here (the Cholesky-NaN test accepted Q_uu == 0 and
+                # produced inf gains; > 0 is the correct PD condition).
+                q00 = Q_uu_reg[0, 0]
+                ok = q00 > 0.0
+                kK = rhs / jnp.where(ok, q00, 1.0)
+            else:
+                chol = jnp.linalg.cholesky(Q_uu_reg)
+                ok = jnp.all(jnp.isfinite(chol))
+                chol_safe = jnp.where(
+                    jnp.isfinite(chol), chol, jnp.eye(Q_uu.shape[0])
+                )
+                kK = jax.scipy.linalg.cho_solve((chol_safe, True), rhs)
             k = -kK[:, 0]
             K = -kK[:, 1:]
             if us is not None:
