@@ -57,6 +57,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.riccati_pallas import (
+    pallas_riccati_applicable,
+    riccati_backward_batch,
+    use_pallas_riccati,
+)
 from ..ops.rollout import simulate_trajectory, simulate_trajectory_noisy
 from .base import Solver
 
@@ -95,6 +100,11 @@ class ILQR(Solver):
     # derivative closures, which call _dynamics/_transform directly
     # (agents/ilqr.py:57-81) and so stay clean.
     model_noise_std: float = 0.0
+    # batched backward pass as ONE Pallas kernel launch (see
+    # ops/riccati_pallas.py — 5.3 ms -> sub-ms at T=100, B=1024). Tri-state:
+    # None = auto (TPU backend only), True/False = force. Fires only when
+    # the solve is vmapped (custom_vmap); scalar solves keep the scan.
+    pallas_backward: "bool | None" = None
 
     # -- state ----------------------------------------------------------------
     def init_state(self, key) -> ILQRState:
@@ -251,6 +261,34 @@ class ILQR(Solver):
         _, (ks, Ks, oks) = lax.scan(step, init, per_t, reverse=True)
         return ks, Ks, jnp.all(oks)
 
+    def backward_pass_cv(self, d: _Derivs, mu):
+        """``backward_pass`` with a ``custom_vmap`` rule: when the solve is
+        batched (vmapped episodes — the BASELINE benchmark path), the whole
+        batched recursion runs as ONE Pallas kernel launch
+        (``ops/riccati_pallas.py``) instead of a vmapped scan of tiny
+        batched matmuls; unbatched calls are untouched. Plain iLQR only —
+        the DDP/boxDDP/diag-Hessian variants keep the scan."""
+
+        @jax.custom_batching.custom_vmap
+        def bw(l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u, mu):
+            return self.backward_pass(
+                _Derivs(l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u), mu
+            )
+
+        @bw.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            args = [
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+                for a, b in zip(args, in_batched)
+            ]
+            ks, Ks, ok = riccati_backward_batch(
+                *args[:7], args[7], check_pd=True
+            )
+            return (ks, Ks, ok), (True, True, True)
+
+        return bw(d.l_x, d.l_u, d.l_xx, d.l_uu, d.l_ux, d.f_x, d.f_u,
+                  jnp.asarray(mu, jnp.float32))
+
     # -- reference-numerics backward pass (diag_hessian compat) ----------------
     def backward_pass_ref(self, d: _Derivs, mu):
         """Replicates ``MPCBenchmark/agents/ilqr.py:280-333`` numerically.
@@ -395,7 +433,17 @@ class ILQR(Solver):
             else:
                 f_hess = self.dynamics_hessian(xs, us) if self.ddp else None
                 us_bp = jnp.clip(us, model.lo, model.hi) if self.box_ddp else None
-                ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess, us_bp)
+                if (
+                    f_hess is None
+                    and us_bp is None
+                    and use_pallas_riccati(self.pallas_backward)
+                    and pallas_riccati_applicable(
+                        model.state_size, model.action_size
+                    )
+                ):
+                    ks, Ks, bp_ok = self.backward_pass_cv(d, mu)
+                else:
+                    ks, Ks, bp_ok = self.backward_pass(d, mu, f_hess, us_bp)
 
             us_c = jnp.clip(us, model.lo, model.hi)
             if self.model_noise_std > 0.0:

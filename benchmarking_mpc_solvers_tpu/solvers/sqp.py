@@ -28,6 +28,11 @@ from jax import lax
 
 from ..ops.linearize import linearize_dynamics, quadratize_cost
 from ..ops.riccati import tvlqr_backward, tvlqr_backward_assoc_general
+from ..ops.riccati_pallas import (
+    pallas_riccati_applicable,
+    tvlqr_backward_cv,
+    use_pallas_riccati,
+)
 from ..ops.rollout import rollout, simulate_trajectory, simulate_trajectory_noisy
 from .base import Solver
 
@@ -54,6 +59,9 @@ class SQP(Solver):
     # solve the Riccati subproblem with the O(log T) associative scan —
     # profitable at long horizons (crossover in scripts/bench_riccati.py)
     parallel_horizon: bool = False
+    # batched Riccati subproblem as ONE Pallas kernel launch when the solve
+    # is vmapped (ops/riccati_pallas.py). None = auto (TPU backend only).
+    pallas_backward: "bool | None" = None
 
     def init_state(self, key) -> SQPState:
         return SQPState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
@@ -74,6 +82,10 @@ class SQP(Solver):
         )
         if self.parallel_horizon:
             return tvlqr_backward_assoc_general(dyn, cost)
+        if use_pallas_riccati(self.pallas_backward) and pallas_riccati_applicable(
+            self.model.state_size, self.model.action_size
+        ):
+            return tvlqr_backward_cv(dyn, cost)
         return tvlqr_backward(dyn, cost, reg=0.0)
 
     def _try_step(self, alpha, policy, xs, us, g_z, xnoise=None):
