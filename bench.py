@@ -17,10 +17,16 @@ environment's remote-tunnel runtime includes a ~30 ms RTT and
 ``block_until_ready`` does not reliably await remote completion, so naive
 wall-clock timing is wrong in both directions; the slope is RTT-free.
 
-vs_baseline: the reference solves serially at roughly 1 MPC step/s for this
-config (BASELINE.md: MPPI cartpole T=50 aggregates ~1.5e3 s of solve time
-over ~1.5e3 closed-loop steps on a 12-core host), so vs_baseline == our
-solves/s.
+vs_baseline: derived from BASELINE.md for the matching config (CartpoleSwingup,
+MPPI, T=50). The reference's table row aggregates Σ passed_time = 1.5e3 s
+(`ResultPlots/time_comparison/CartpoleSwingupEnvironment_T_table.tex:21`) over
+every matching run in its four MongoDB collections
+(`scripts/table_generation.py:22`): the mppi_samples sweep (5 K-values x 5
+repetitions, `scripts/sample_test.py:28,36-47`) plus the temperature_exp sweep
+(6 lambda-values x 5 repetitions, `scripts/mppi_temperature.py:23-29`) = 55
+runs x 100 timed solves each (`ExperimentCore/Experiment.py:79-99`; warm-start
+iterations are untimed) = 5,500 solves. Reference rate = 5500 / 1.5e3 s =
+3.7 solves/s on its 12-core host; vs_baseline = ours / 3.7.
 """
 
 import json
@@ -31,7 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-REFERENCE_SOLVES_PER_SEC = 1.0
+REFERENCE_SOLVES_PER_SEC = 5500.0 / 1.5e3  # = 3.7, see module docstring
 HORIZON = 50
 K_SAMPLES = 32
 BATCH = 8192

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..envs.env import Env, NoiseConfig, env_step
+from ..ops.rollout import simulate_trajectory
 from ..solvers.base import Solver, predict_action, warm_start
 
 
@@ -116,7 +117,8 @@ def run_episodes_batch(env: Env, solver: Solver, cfg: EpisodeConfig, keys, x0s):
     return jax.vmap(lambda k, x0: run_episode(env, solver, cfg, k, x0))(keys, x0s)
 
 
-def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
+def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s,
+                       use_kernel: bool = True):
     """Batched closed-loop episodes on the fused Pallas path.
 
     Requires a solver exposing ``solve_batch`` / ``init_state_batch``
@@ -127,14 +129,21 @@ def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
     MPPI on TPU), the *entire* MPPI update — RNG, rollouts, softmax, plan
     update — runs as one kernel per MPC step with no (B·K)-sized HBM
     arrays (``ops/fused_mppi.py``; ~2.3x the two-stage path). Semantics
-    match ``run_episode`` with resampled perturbations; plans/warm-start
-    recording are not materialized (use the generic path when you need
-    them).
+    match ``run_episode`` with resampled perturbations.
+
+    With ``cfg.record_plans`` the reference-schema planning histories
+    (``agent.py:67-73,81-87``) and warm-start trajectories
+    (``agent.py:30-48``) ARE materialized on both fused tiers: one extra
+    batched nominal rollout per MPC step (vs the K sample rollouts of the
+    solve itself), so ``plot_experiment(plot_planning=True)`` works from a
+    fused-path run at fused speed.
     """
     model = env.model
     B = x0s.shape[0]
-    if getattr(solver, "kernel_ok", None) and solver.kernel_ok():
+    if use_kernel and getattr(solver, "kernel_ok", None) and solver.kernel_ok():
         return _run_episodes_kernel(env, solver, cfg, keys, x0s)
+    # from here: the two-stage path, which replays the vmapped-scalar
+    # episode seed-for-seed (tests/test_equivalence.py)
     goal = (
         jnp.zeros((model.goal_size,), jnp.float32)
         if cfg.goal_state is None
@@ -152,32 +161,44 @@ def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
         sstates = sstates._replace(
             planned_us=jnp.clip(sstates.planned_us, model.lo, model.hi)
         )
-        return sstates, None
+        # the reference records each warm-start plan (agent.py:30-48)
+        return sstates, sstates.planned_us if cfg.record_plans else None
 
+    ws_trajs = None
     if cfg.warmstart > 0:
-        sstates, _ = jax.lax.scan(warm, sstates, None, length=cfg.warmstart)
+        sstates, ws = jax.lax.scan(warm, sstates, None, length=cfg.warmstart)
+        if cfg.record_plans:
+            ws_trajs = jnp.swapaxes(ws, 0, 1)  # (B, W, T, A)
 
     batched_env_step = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))
+    batched_sim = jax.vmap(
+        lambda x, us: simulate_trajectory(model, x, us, g_z)
+    )
 
     def step(carry, keys_t):
         sstates, x_true, obs = carry
         sstates, u0s, _ = solver.solve_batch(sstates, obs, g_z)
         planned = jnp.clip(sstates.planned_us, model.lo, model.hi)
         if cfg.record_plans:
-            # receding-horizon shift (agent.py:72-73)
+            # simulate the plan for logging, then receding-horizon shift
+            # (agent.py:67-73) — exactly predict_action's semantics
+            pxs, pcs = batched_sim(obs, planned)
             shifted = jnp.roll(planned, -1, axis=1).at[:, -1].set(0.0)
             sstates = sstates._replace(planned_us=shifted)
         else:
+            pxs = pcs = None
             sstates = sstates._replace(planned_us=planned)
         actions = jnp.clip(u0s, model.lo, model.hi)
         es = batched_env_step(keys_t, x_true, actions)
-        rec = (es.observation, es.true_state, es.action, es.true_action, es.cost, es.done)
+        rec = (es.observation, es.true_state, es.action, es.true_action,
+               es.cost, es.done, pxs, planned if cfg.record_plans else None, pcs)
         return (sstates, es.true_state, es.observation), rec
 
     keys_t = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(k_env)
     keys_t = jnp.swapaxes(keys_t, 0, 1)  # (N, B, key)
     (_, _, _), recs = jax.lax.scan(step, (sstates, x0s, x0s), keys_t)
-    obs, true_states, actions, true_actions, costs, dones = recs
+    obs, true_states, actions, true_actions, costs, dones, pxs, pus, pcs = recs
+    sw = lambda a: None if a is None else jnp.swapaxes(a, 0, 1)  # noqa: E731
     return EpisodeResult(
         observations=jnp.swapaxes(obs, 0, 1),
         true_states=jnp.concatenate(
@@ -187,10 +208,10 @@ def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
         true_actions=jnp.swapaxes(true_actions, 0, 1),
         costs=jnp.swapaxes(costs, 0, 1),
         dones=jnp.swapaxes(dones, 0, 1),
-        planned_states=None,
-        planned_actions=None,
-        planned_costs=None,
-        warmstart_trajectories=None,
+        planned_states=sw(pxs),
+        planned_actions=sw(pus),
+        planned_costs=sw(pcs),
+        warmstart_trajectories=ws_trajs,
     )
 
 
@@ -221,12 +242,17 @@ def _run_episodes_kernel(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
 
     def warm(planned_tm, seed):
         planned_tm, _ = solver.solve_batch_tm(planned_tm, x0s_tm, g_z, seed)
-        return jnp.clip(planned_tm, lo, hi), None
+        planned_tm = jnp.clip(planned_tm, lo, hi)
+        return planned_tm, planned_tm.T[..., None] if cfg.record_plans else None
 
+    ws_trajs = None
     if cfg.warmstart > 0:
-        planned_tm, _ = jax.lax.scan(warm, planned_tm, seeds[: cfg.warmstart])
+        planned_tm, ws = jax.lax.scan(warm, planned_tm, seeds[: cfg.warmstart])
+        if cfg.record_plans:
+            ws_trajs = jnp.swapaxes(ws, 0, 1)  # (B, W, T, 1)
 
     batched_env_step = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))
+    batched_sim = jax.vmap(lambda x, us: simulate_trajectory(model, x, us, g_z))
 
     def step(carry, inputs):
         planned_tm, x_true, obs = carry
@@ -234,13 +260,17 @@ def _run_episodes_kernel(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
         planned_tm, u0s = solver.solve_batch_tm(planned_tm, obs.T, g_z, seed)
         planned_tm = jnp.clip(planned_tm, lo, hi)
         if cfg.record_plans:
+            planned = planned_tm.T[..., None]  # (B, T, 1)
+            pxs, pcs = batched_sim(obs, planned)
             # receding-horizon shift (agent.py:72-73), time-major
             planned_next = jnp.roll(planned_tm, -1, axis=0).at[-1].set(0.0)
         else:
+            pxs = pcs = planned = None
             planned_next = planned_tm
         actions = jnp.clip(u0s, lo, hi)[:, None]  # (B, A=1)
         es = batched_env_step(keys_t, x_true, actions)
-        rec = (es.observation, es.true_state, es.action, es.true_action, es.cost, es.done)
+        rec = (es.observation, es.true_state, es.action, es.true_action,
+               es.cost, es.done, pxs, planned, pcs)
         return (planned_next, es.true_state, es.observation), rec
 
     keys_t = jax.vmap(lambda k: jax.random.split(k, cfg.n_steps))(k_env)
@@ -248,7 +278,8 @@ def _run_episodes_kernel(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
     _, recs = jax.lax.scan(
         step, (planned_tm, x0s, x0s), (keys_t, seeds[cfg.warmstart :])
     )
-    obs, true_states, actions, true_actions, costs, dones = recs
+    obs, true_states, actions, true_actions, costs, dones, pxs, pus, pcs = recs
+    sw = lambda a: None if a is None else jnp.swapaxes(a, 0, 1)  # noqa: E731
     return EpisodeResult(
         observations=jnp.swapaxes(obs, 0, 1),
         true_states=jnp.concatenate(
@@ -258,8 +289,8 @@ def _run_episodes_kernel(env: Env, solver, cfg: EpisodeConfig, keys, x0s):
         true_actions=jnp.swapaxes(true_actions, 0, 1),
         costs=jnp.swapaxes(costs, 0, 1),
         dones=jnp.swapaxes(dones, 0, 1),
-        planned_states=None,
-        planned_actions=None,
-        planned_costs=None,
-        warmstart_trajectories=None,
+        planned_states=sw(pxs),
+        planned_actions=sw(pus),
+        planned_costs=sw(pcs),
+        warmstart_trajectories=ws_trajs,
     )

@@ -85,6 +85,12 @@ class Experiment:
         self.seed = int(params.get("seed", 0))
         self.repetitions = int(params.get("repetitions", 1))
         self.timed_per_step = bool(params.get("timed_per_step", False))
+        # fused=True runs the repetition batch through run_episodes_fused
+        # (solve_batch fast path) instead of vmapped run_episode; since the
+        # fused path records plans and warm starts too, the results dict is
+        # schema-identical (and for MPPI/CEM seed-replay-identical,
+        # tests/test_equivalence.py)
+        self.fused = bool(params.get("fused", False))
         self.params = params
         self.experiment_results: Optional[Dict[str, Any]] = None
 
@@ -197,9 +203,17 @@ class Experiment:
         x0 = jnp.asarray(self.start_state)
         keys = jax.random.split(jax.random.PRNGKey(self.seed), self.repetitions)
 
-        fn = jax.jit(
-            jax.vmap(lambda k: run_episode(self.env, solver, cfg, k, x0))
-        )
+        if self.fused:
+            from .episode import run_episodes_fused
+
+            x0s = jnp.tile(x0, (self.repetitions, 1))
+            fn = jax.jit(
+                lambda ks: run_episodes_fused(self.env, solver, cfg, ks, x0s)
+            )
+        else:
+            fn = jax.jit(
+                jax.vmap(lambda k: run_episode(self.env, solver, cfg, k, x0))
+            )
         t_compile0 = time.perf_counter()
         res = jax.block_until_ready(fn(keys))
         compile_and_run = time.perf_counter() - t_compile0

@@ -87,7 +87,7 @@ def generate_tables(
         "CartpoleSwingupEnvironment",
         "AcrobotEnvironment",
     ),
-    solvers: Iterable[str] = ("CEM", "ILQR", "MPPI", "QPMPC", "SQP"),
+    solvers: Iterable[str] = ("CEM", "ILQR", "MPPI", "QPMPC", "SQP", "I2C"),
     horizons: Iterable[int] = (5, 10, 25, 50),
     sample_counts: Iterable[int] = (10, 20, 50, 200, 500),
 ) -> List[str]:

@@ -88,9 +88,10 @@ class CEM(Solver):
 
     # -- batched-scenario fast path -------------------------------------------
     def init_state_batch(self, keys) -> CEMState:
-        """Batched state from per-scenario keys (B, 2)."""
+        """Batched state from per-scenario keys (B, 2). Identical to
+        ``jax.vmap(init_state)`` (which does not consume the key), so the
+        batched episode replays the scalar episode seed-for-seed."""
         batch = keys.shape[0]
-        keys = jax.vmap(lambda k: jax.random.split(k)[1])(keys)
         planned = jnp.zeros((batch, self.T, self.model.action_size), jnp.float32)
         return CEMState(planned, keys)
 
@@ -121,8 +122,10 @@ class CEM(Solver):
             # batch permutes the results
             splits = jax.vmap(jax.random.split)(keys)  # (B, 2, 2)
             k_sample, keys = splits[:, 0], splits[:, 1]
+            # scalar path's (K, T) draw shape, laid out time-major: same key
+            # -> same samples as ``solve`` (tests/test_equivalence.py)
             noise_tm = jax.vmap(
-                lambda k: jax.random.normal(k, (T, K), jnp.float32), out_axes=1
+                lambda k: jax.random.normal(k, (K, T), jnp.float32).T, out_axes=1
             )(k_sample)
             samples_tm = jnp.clip(
                 mean.T[:, :, None] + std.T[:, :, None] * noise_tm, lo, hi

@@ -109,9 +109,10 @@ class MPPI(Solver):
         of its key alone, not its batch slot: permuting the batch permutes
         the outputs. The (T, B, K) draws feed the fused Pallas kernel
         (``ops/fused.py``) with no transposes. Same update law as ``solve``
-        with ``resample=True``; the per-call key-split sequence differs from
-        the scalar path's, which is immaterial to the controller's
-        distribution.
+        with ``resample=True`` and the SAME noise stream as the scalar path:
+        identical per-scenario keys give identical controls (up to rollout
+        summation-order f32 rounding) — asserted by
+        ``tests/test_equivalence.py``.
 
         state fields carry a leading (B,) axis; xs is (B, S).
         """
@@ -125,8 +126,13 @@ class MPPI(Solver):
         k_delta, key = keys[:, 0], keys[:, 1]
 
         if use_fused and A == 1:
+            # draw in the scalar path's (K, T) shape then lay out time-major:
+            # same key -> the SAME perturbations as ``solve``, so the fused
+            # path is seed-replay-equivalent to the gated scalar path
+            # (tests/test_equivalence.py); the transpose fuses into the
+            # threefry kernel's output layout
             delta_tm = self.std * jax.vmap(
-                lambda k: jax.random.normal(k, (T, K), jnp.float32), out_axes=1
+                lambda k: jax.random.normal(k, (K, T), jnp.float32).T, out_axes=1
             )(k_delta).reshape(T, N)
             planned_tm = state.planned_us[..., 0].T  # (T, B)
             us_tm = (

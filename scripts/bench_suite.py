@@ -5,14 +5,28 @@ Configs (BASELINE.json "configs"):
  2. Cartpole stabilization, QP MPC horizon 50, box input constraints, closed loop
  3. Cartpole swing-up via iLQR/DDP, horizon 100, batched over 1k initial states
  4. Acrobot nonlinear MPC (SQP), horizon 100
- 5. Multi-solver benchmark sweep (QP/iLQR/MPPI) x scenarios sharded over the mesh
+ 5. Multi-solver benchmark sweep (all six solver families) x scenarios
+    sharded over the mesh
+ 6. I2C (input-inference-for-control) pendulum swing-up — the solver family
+    the reference left as a 0-byte stub (MPCBenchmark/agents/i2c.py)
 
-Each line reports solves/s (slope-timed — see bench.py for why), p50
-per-step solve latency, episode cost, and constraint violation (max box
-violation of the commanded controls; 0 == feasible).
+Each line reports:
+- solves_per_sec: throughput, slope-timed (see bench.py for why the slope —
+  this environment's tunnel runtime has ~30 ms RTT per dispatch).
+- p50/p90_step_latency_ms: TRUE per-step solve latency percentiles — each
+  batched MPC step (solve for all B scenarios + plant step) is dispatched as
+  one jitted call, synced to the host, and wall-clock timed individually,
+  like the reference's per-step time.time() loop
+  (ExperimentCore/Experiment.py:79-99). Includes the host->device dispatch
+  round-trip, so on this tunnel it is an upper bound dominated by RTT for
+  sub-30ms kernels; the amortized column is the RTT-free per-step mean.
+- amortized_step_ms: slope-timed episode time / n_steps (the round-2 number
+  formerly mislabeled "p50").
+- episode_cost, constraint_violation (max box violation of commanded u).
 """
 
 import json
+import time
 
 import numpy as np
 from _common import std_parser  # noqa: F401  (sys.path setup)
@@ -26,8 +40,10 @@ from benchmarking_mpc_solvers_tpu.envs import (
     AcrobotEnv,
     PendulumEnv,
 )
+from benchmarking_mpc_solvers_tpu.envs.env import env_step
 from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig, run_episode
-from benchmarking_mpc_solvers_tpu.solvers import ILQR, MPPI, QPMPC, SQP
+from benchmarking_mpc_solvers_tpu.solvers import CEM, I2C, ILQR, MPPI, QPMPC, SQP
+from benchmarking_mpc_solvers_tpu.solvers.base import predict_action
 from benchmarking_mpc_solvers_tpu.utils import slope_timer
 
 
@@ -36,7 +52,8 @@ def violation(actions, lo, hi):
     return float(np.maximum(np.maximum(a - hi, lo - a), 0.0).max())
 
 
-def report(name, solves_per_sec, p50_ms, cost, viol, extra=None):
+def report(name, solves_per_sec, lat, cost, viol, extra=None):
+    p50, p90, amort = lat
     print(
         json.dumps(
             {
@@ -44,7 +61,11 @@ def report(name, solves_per_sec, p50_ms, cost, viol, extra=None):
                 # null = the slope timer could not resolve the runtime above
                 # measurement noise (short quick-mode runs), NOT zero time
                 "solves_per_sec": None if solves_per_sec is None else round(solves_per_sec, 1),
-                "p50_step_latency_ms": None if p50_ms is None else round(p50_ms, 4),
+                # true percentiles of per-dispatch wall-clock (incl. RTT)
+                "p50_step_latency_ms": None if p50 is None else round(p50, 4),
+                "p90_step_latency_ms": None if p90 is None else round(p90, 4),
+                # RTT-free slope-amortized mean (round 2's "p50" column)
+                "amortized_step_ms": None if amort is None else round(amort, 4),
                 "episode_cost": round(cost, 2),
                 "constraint_violation": viol,
                 **(extra or {}),
@@ -60,14 +81,75 @@ def timed_per_call(fn, inner_reps, outer_reps):
     return per_call if per_call > 1e-6 else None
 
 
-def episode_metrics(env, solver, cfg, B, quick, inner=None):
-    """Batched episodes: slope-timed solves/s + cost + feasibility.
+def make_step_fn(env, solver, cfg, B, fused=False):
+    """One batched MPC step (solve all B scenarios + plant step) as a single
+    jitted call, for per-step latency distributions."""
+    model = env.model
+    g_z = jnp.zeros((solver.T, model.goal_size), jnp.float32)
+
+    if fused:
+        def init(key, x0s):
+            k_all = jax.vmap(jax.random.split)(jax.random.split(key, B))
+            return (solver.init_state_batch(k_all[:, 0]), x0s)
+
+        @jax.jit
+        def one(carry, keys_t):
+            ss, obs = carry
+            ss, u0s, _ = solver.solve_batch(ss, obs, g_z)
+            acts = jnp.clip(u0s, model.lo, model.hi)
+            es = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))(
+                keys_t, obs, acts
+            )
+            return (ss, es.observation), jnp.sum(es.observation)
+    else:
+        def init(key, x0s):
+            return (jax.vmap(solver.init_state)(jax.random.split(key, B)), x0s)
+
+        @jax.jit
+        def one(carry, keys_t):
+            ss, obs = carry
+            out = jax.vmap(
+                lambda s, x: predict_action(solver, s, x, g_z, shift=False)
+            )(ss, obs)
+            es = jax.vmap(lambda k, x, u: env_step(env, k, x, u, cfg.noise))(
+                keys_t, obs, out.action
+            )
+            return (out.state, es.observation), jnp.sum(es.observation)
+
+    return init, one
+
+
+def step_latency_dist(env, solver, cfg, B, x0s, fused=False, n=30):
+    """(p50_ms, p90_ms) of true per-step wall-clock over n closed-loop
+    steps. Each step's checksum is fetched to the host, which forces
+    completion on runtimes where block_until_ready returns early."""
+    init, one = make_step_fn(env, solver, cfg, B, fused=fused)
+    carry = init(jax.random.PRNGKey(7), x0s)
+    keys = jax.random.split(jax.random.PRNGKey(8), n + 1)
+    carry, chk = one(carry, jax.random.split(keys[0], B))  # compile + warm
+    float(chk)
+    lats = []
+    for i in range(1, n + 1):
+        kt = jax.random.split(keys[i], B)
+        t0 = time.perf_counter()
+        carry, chk = one(carry, kt)
+        float(chk)  # host sync
+        lats.append(time.perf_counter() - t0)
+    return (
+        float(np.percentile(lats, 50) * 1e3),
+        float(np.percentile(lats, 90) * 1e3),
+    )
+
+
+def episode_metrics(env, solver, cfg, B, quick, inner=None, x0s=None):
+    """Batched episodes: slope-timed solves/s + true p50/p90 + cost +
+    feasibility.
 
     The timed runs jitter x0 by a key-dependent 1e-3 perturbation —
     deterministic solvers (QP/SQP) are otherwise key-independent and XLA
     CSEs the n-repetition scan into a single episode, zeroing the slope.
     """
-    x0s = jnp.tile(env.start_state, (B, 1))
+    x0s = jnp.tile(env.start_state, (B, 1)) if x0s is None else x0s
 
     def run(key, jitter=False):
         keys = jax.random.split(key, B)
@@ -83,10 +165,12 @@ def episode_metrics(env, solver, cfg, B, quick, inner=None):
                               outer_reps=1 if quick else 3)
     res = jax.jit(run)(jax.random.PRNGKey(0))
     solves = B * cfg.n_steps / per_call if per_call else None
-    p50_ms = per_call / cfg.n_steps * 1e3 if per_call else None
+    amort_ms = per_call / cfg.n_steps * 1e3 if per_call else None
+    p50, p90 = step_latency_dist(env, solver, cfg, B, x0s,
+                                 n=5 if quick else 30)
     cost = float(np.median(np.asarray(res.costs.sum(axis=-1))))
     viol = violation(res.true_actions, float(env.model.lo[0]), float(env.model.hi[0]))
-    return solves, p50_ms, cost, viol
+    return solves, (p50, p90, amort_ms), cost, viol
 
 
 def main():
@@ -100,9 +184,9 @@ def main():
     cfg = EpisodeConfig(n_steps=5 if q else 50, record_plans=False)
     # the batched dense-ADMM episode is faster than tunnel timing noise at
     # small repetition counts; long inner scans make the slope resolvable
-    s, p, c, v = episode_metrics(env, solver, cfg, B=8 if q else 512, quick=q,
-                                 inner=None if q else 81)
-    report("pendulum linear MPC T=20 condensed ADMM", s, p, c, v)
+    s, lat, c, v = episode_metrics(env, solver, cfg, B=8 if q else 512, quick=q,
+                                   inner=None if q else 81)
+    report("pendulum linear MPC T=20 condensed ADMM", s, lat, c, v)
 
     # 2. cartpole stabilization, QP MPC T=50, box constraints, closed loop
     env = CartPoleSwingUpEnv
@@ -129,11 +213,13 @@ def main():
     per_call = timed_per_call(lambda k: run2(k, True).costs.sum(),
                               inner_reps=3 if q else 7, outer_reps=1 if q else 2)
     res = jax.jit(run2)(jax.random.PRNGKey(0))
+    p50_2, p90_2 = step_latency_dist(env, solver, cfg, B, x0s, fused=True,
+                                     n=5 if q else 30)
     final_theta = float(np.abs(np.asarray(res.true_states[:, -1, 2])).max())
     report(
         "cartpole stabilization QP MPC T=50 box-constrained",
         B * cfg.n_steps / per_call if per_call else None,
-        per_call / cfg.n_steps * 1e3 if per_call else None,
+        (p50_2, p90_2, per_call / cfg.n_steps * 1e3 if per_call else None),
         float(np.median(np.asarray(res.costs.sum(axis=-1)))),
         violation(res.true_actions, -1.0, 1.0),
         {"max_final_pole_angle_rad": round(final_theta, 4)},
@@ -145,8 +231,8 @@ def main():
                   max_iter=1 if q else 5, threshold=1e-3, reference_accept=False)
     cfg = EpisodeConfig(n_steps=3 if q else 20, warmstart=1 if q else 10,
                         record_plans=False)
-    s, p, c, v = episode_metrics(env, solver, cfg, B=4 if q else 1024, quick=q)
-    report("cartpole swing-up iLQR T=100 batched 1k states", s, p, c, v)
+    s, lat, c, v = episode_metrics(env, solver, cfg, B=4 if q else 1024, quick=q)
+    report("cartpole swing-up iLQR T=100 batched 1k states", s, lat, c, v)
 
     # 4. acrobot NMPC via SQP, T=100
     env = AcrobotEnv
@@ -154,24 +240,11 @@ def main():
     cfg = EpisodeConfig(n_steps=3 if q else 20, record_plans=False)
     B4 = 4 if q else 128
     x0s4 = jnp.tile(jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32), (B4, 1))
+    s, lat, c, v = episode_metrics(env, solver, cfg, B=B4, quick=q,
+                                   inner=3 if q else 5, x0s=x0s4)
+    report("acrobot NMPC SQP T=100", s, lat, c, v)
 
-    def run4(key, jitter=False):
-        keys = jax.random.split(key, B4)
-        x0 = x0s4 + (1e-3 * jax.random.normal(key, x0s4.shape) if jitter else 0.0)
-        return jax.vmap(lambda k, x0_: run_episode(env, solver, cfg, k, x0_))(keys, x0)
-
-    per_call = timed_per_call(lambda k: run4(k, True).costs.sum(),
-                              inner_reps=3 if q else 5, outer_reps=1)
-    res = jax.jit(run4)(jax.random.PRNGKey(0))
-    report(
-        "acrobot NMPC SQP T=100",
-        B4 * cfg.n_steps / per_call if per_call else None,
-        per_call / cfg.n_steps * 1e3 if per_call else None,
-        float(np.median(np.asarray(res.costs.sum(axis=-1)))),
-        violation(res.true_actions, -1.0, 1.0),
-    )
-
-    # 5. multi-solver sweep sharded over the device mesh
+    # 5. multi-solver sweep sharded over the device mesh — ALL SIX families
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from benchmarking_mpc_solvers_tpu.parallel import make_mesh, shard_batch, sharded_episodes
@@ -182,12 +255,17 @@ def main():
     B5 = 2 * n_dev if q else max(n_dev * 128, 1024)
     spec = NamedSharding(mesh, P("batch"))
     x0s_base = jnp.tile(env.start_state, (B5, 1))
-    rows, sps, lat = [], {}, []
+    T5 = 5 if q else 50
+    rows, sps, lat5 = [], {}, []
     for name, solver in [
-        ("MPPI", MPPI(model=env.model, T=5 if q else 50, K=8 if q else 64)),
-        ("QPMPC", QPMPC(model=env.model, T=5 if q else 50, iters=10 if q else 50)),
-        ("ILQR", ILQR(model=env.model, T=5 if q else 50, max_iter=1 if q else 3,
+        ("MPPI", MPPI(model=env.model, T=T5, K=8 if q else 64)),
+        ("CEM", CEM(model=env.model, T=T5, K=8 if q else 64,
+                    n_elite=2 if q else 8, max_iter=1 if q else 3)),
+        ("QPMPC", QPMPC(model=env.model, T=T5, iters=10 if q else 50)),
+        ("ILQR", ILQR(model=env.model, T=T5, max_iter=1 if q else 3,
                       reference_accept=False)),
+        ("SQP", SQP(model=env.model, T=T5, max_iter=1 if q else 3)),
+        ("I2C", I2C(model=env.model, T=T5, max_iter=1 if q else 3)),
     ]:
         cfg = EpisodeConfig(n_steps=2 if q else 10, record_plans=False)
         fn = sharded_episodes(env, solver, cfg, mesh)
@@ -207,12 +285,15 @@ def main():
         per = timed_per_call(scalar, inner_reps=2 if q else 5, outer_reps=1)
         sps[name] = round(B5 * cfg.n_steps / per, 1) if per else None
         if per:
-            lat.append(per / cfg.n_steps * 1e3)
+            lat5.append(per / cfg.n_steps * 1e3)
     resolved = [v for v in sps.values() if v is not None]
+    p50_5, p90_5 = step_latency_dist(
+        env, MPPI(model=env.model, T=T5, K=8 if q else 64), cfg, B5, x0s_base,
+        n=5 if q else 20)
     report(
-        f"multi-solver sweep x {B5} scenarios sharded over {n_dev} device(s)",
+        f"multi-solver sweep (6 families) x {B5} scenarios sharded over {n_dev} device(s)",
         sum(resolved) / len(resolved) if resolved else None,
-        float(np.median(lat)) if lat else None,
+        (p50_5, p90_5, float(np.median(lat5)) if lat5 else None),
         rows[0][1],
         0.0,
         {
@@ -220,6 +301,14 @@ def main():
             "solves_per_sec_by_solver": sps,
         },
     )
+
+    # 6. I2C pendulum swing-up — the reference's unfinished 4th solver
+    # family (agents/i2c.py, 0 bytes), completed and benchmarked here
+    env = PendulumEnv
+    solver = I2C(model=env.model, T=10 if q else 25, max_iter=2 if q else 10)
+    cfg = EpisodeConfig(n_steps=5 if q else 50, record_plans=False)
+    s, lat, c, v = episode_metrics(env, solver, cfg, B=8 if q else 256, quick=q)
+    report("pendulum swing-up I2C T=25", s, lat, c, v)
 
 
 if __name__ == "__main__":

@@ -13,6 +13,9 @@ SOLVER_CONFIGS = {
             "alpha": 0.2, "std": 1.0},
     "MPPI": {"K": 100, "T": 25, "std": 1.0, "lam": 0.1},
     "ILQR": {"T": 25, "max_iter": 5, "threshold": 1e-3, "closed_loop": False},
+    # beyond reference parity: the solver family the reference left as a
+    # 0-byte stub (agents/i2c.py) joins the robustness study
+    "I2C": {"T": 25, "max_iter": 5},
 }
 
 QUICK_CONFIGS = {

@@ -66,11 +66,21 @@ def main():
         timed("derivatives", lambda k: jnp.sum(
             vder(xss + 1e-6 * jax.random.normal(k, xss.shape), us0).l_xx))
 
-        # stage 3: backward pass
+        # stage 3: backward pass — vmapped scan vs the Pallas kernel
         vbp = jax.vmap(lambda d: solver.backward_pass(d, mu)[0])
-        timed("backward", lambda k: jnp.sum(
+        timed("backward_scan", lambda k: jnp.sum(
             vbp(derivs._replace(
                 l_x=derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape)))))
+
+        from benchmarking_mpc_solvers_tpu.ops.riccati_pallas import (
+            riccati_backward_batch,
+        )
+
+        mub = jnp.full((B,), 1.0, jnp.float32)
+        timed("backward_pallas", lambda k: jnp.sum(riccati_backward_batch(
+            derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape),
+            derivs.l_u, derivs.l_xx, derivs.l_uu, derivs.l_ux,
+            derivs.f_x, derivs.f_u, mub)[0]))
 
         # stage 4: 10-alpha line-search forward passes
         ks0 = jnp.zeros((B, T, model.action_size))

@@ -15,7 +15,12 @@ from benchmarking_mpc_solvers_tpu.experiment import ResultStore, plot_cost_bands
 def generate_data(args):
     cem_store = ResultStore(args.results_dir, "cem_ratios")
     mppi_store = ResultStore(args.results_dir, "mppi_samples")
-    envs = ["pendulum"] if args.quick else ["pendulum", "cartpole_swingup"]
+    # the reference script's acrobot line is commented out
+    # (sample_test.py:19) yet its published T-table has acrobot CEM rows —
+    # we sweep acrobot too so the study table is fully populated
+    envs = ["pendulum"] if args.quick else [
+        "pendulum", "cartpole_swingup", "acrobot"
+    ]
     ratios = [0.25, 0.5] if args.quick else [0.1, 0.25, 0.5, 0.75, 1.0]
     Ks = [8, 16] if args.quick else [10, 20, 50, 100, 200]
     Ts = [5] if args.quick else [5, 10, 25, 50]

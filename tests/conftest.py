@@ -16,5 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# BMPC_TEST_TPU=1 runs the suite on the real chip instead (used to certify
+# the batched-vs-scalar equivalence chain on TPU — see test_equivalence.py)
+if not os.environ.get("BMPC_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)

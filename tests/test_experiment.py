@@ -178,3 +178,34 @@ def test_ilqr_line_search_debug_plots(tmp_path):
     assert paths, "no line-search figures written"
     for p in paths:
         assert (tmp_path / p.split("/")[-1]).exists()
+
+
+def test_fused_experiment_records_plans_and_plots(tmp_path):
+    """VERDICT r2 item 7: the fused episode path materializes the
+    reference-schema planning histories and warm-start trajectories, so
+    plot_experiment(plot_planning=True) works from a fused-path run."""
+    from benchmarking_mpc_solvers_tpu.experiment import plot_experiment
+
+    params = {
+        "env": "pendulum",
+        "agent": "MPPI",
+        "agent_config": {"K": 16, "T": 8, "std": 1.0, "lam": 0.1},
+        "experiment_length": 6,
+        "start_state": np.array([np.pi, 0.0]),
+        "repetitions": 3,
+        "fused": True,
+    }
+    result = Experiment(params)(warmstart=2)
+    for key in REFERENCE_KEYS:
+        assert key in result, f"missing reference result key {key}"
+    assert result["agent_planning_states"].shape == (6, 9, 2)
+    assert result["agent_planning_actions"].shape == (6, 8, 1)
+    assert result["warmstart_trajectories"].shape == (2, 8, 1)
+    assert np.all(np.isfinite(result["agent_planning_costs"]))
+    fig = plot_experiment(result, plot_planning=True)
+    out = tmp_path / "fused_plan.png"
+    fig.savefig(out)
+    assert out.exists()
+    # (seed-replay equivalence of the two-stage fused path vs the vmapped
+    # path is asserted in tests/test_equivalence.py; the kernel tier used
+    # here has its own RNG stream by design)

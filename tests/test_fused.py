@@ -65,8 +65,8 @@ def test_solve_batch_matches_per_scenario_math():
 
     # recompute scenario 1 by hand from its own per-scenario draw
     split = jax.vmap(jax.random.split)(sstates.key)
-    delta_tm1 = 0.7 * jax.random.normal(split[1, 0], (6, 8), jnp.float32)  # (T, K)
-    delta1 = jnp.transpose(delta_tm1, (1, 0))[:, :, None]  # (K, T, 1)
+    # the batched path draws in the scalar solve's (K, T) shape
+    delta1 = 0.7 * jax.random.normal(split[1, 0], (8, 6), jnp.float32)[:, :, None]
     samples = sstates.planned_us[1][None] + delta1
     roll, _ = rollout_cost_samples(model, xs[1], samples, g_z)
     ctrl = 0.5 * jnp.einsum("kta,kta->k", samples, delta1) / 0.7**2
@@ -126,10 +126,10 @@ def test_cem_solve_batch_matches_update_law():
     # hand recompute scenario 2 from its own per-scenario draw
     b = 2
     splits = jax.vmap(jax.random.split)(st.key)
-    noise_b = jax.random.normal(splits[b, 0], (5, 16), jnp.float32)  # (T, K)
+    # the batched path draws in the scalar solve's (K, T) shape
+    noise_b = jax.random.normal(splits[b, 0], (16, 5), jnp.float32)  # (K, T)
     mean0 = st.planned_us[..., 0]
-    samples_tm_b = jnp.clip(mean0[b][:, None] + 0.8 * noise_b, -2.0, 2.0)
-    samples_b = jnp.transpose(samples_tm_b, (1, 0))[:, :, None]  # (K,T,1)
+    samples_b = jnp.clip(mean0[b][None, :] + 0.8 * noise_b, -2.0, 2.0)[:, :, None]
     costs, _ = rollout_cost_samples(model, xs[b], samples_b, g_z)
     elite = jnp.argsort(costs)[:4]
     elites = samples_b[elite]  # (4, T, 1)

@@ -121,6 +121,11 @@ def assert_gate(u_err, plan_err, inputs, make_agent, goal_size, label,
             f"there (self-sensitivity {sens:.2e}) — a real parity bug"
         )
         singular.append(int(t))
+    # visible record of how close each env runs to the excusal cap, so
+    # regressions toward it show up in test output instead of silently
+    # consuming headroom (run pytest -s or -rP to see it)
+    print(f"[parity-gate] {label}: {len(singular)}/{max_singular} excused "
+          f"ill-conditioned steps at t={singular}")
     assert len(singular) <= max_singular, (
         f"{label}: {len(singular)} ill-conditioned steps {singular} — too "
         "many boundary hits to call the episodes comparable"
