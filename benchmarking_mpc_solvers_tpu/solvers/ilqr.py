@@ -57,6 +57,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
 from ..ops.riccati_pallas import (
     pallas_riccati_applicable,
     riccati_backward_batch,
@@ -289,6 +290,51 @@ class ILQR(Solver):
         return bw(d.l_x, d.l_u, d.l_xx, d.l_uu, d.l_ux, d.f_x, d.f_u,
                   jnp.asarray(mu, jnp.float32))
 
+    def linesearch_cv(self, ks, Ks, xs, us, g_z):
+        """All-alpha line search with a ``custom_vmap`` rule: batched solves
+        evaluate every (alpha, scenario) candidate in ONE fused Pallas
+        feedback-rollout launch (``ops/fused_linesearch.py``) instead of
+        n_alpha vmapped scans; unbatched solves keep the scan. Returns
+        ``(uss, costs)`` of shapes ``(n_alphas, T, A)``, ``(n_alphas,)``."""
+        # NOTE alphas travels as an ARGUMENT, never a closure: this method
+        # runs inside the while_loop body trace, where even constant
+        # arithmetic yields body-trace tracers — a closure would leak them
+        # into the vmap rule, which executes under a different trace.
+        def scan_ls(alphas, ks, Ks, xs, us, g_z):
+            _, uss, costs = jax.vmap(
+                lambda a: self.forward_pass(a, ks, Ks, xs, us, g_z)
+            )(alphas)
+            return uss, costs
+
+        @jax.custom_batching.custom_vmap
+        def ls(alphas, ks, Ks, xs, us, g_z):
+            return scan_ls(alphas, ks, Ks, xs, us, g_z)
+
+        @ls.def_vmap
+        def _rule(axis_size, in_batched, alphas, *args):
+            bc = lambda a, b: (  # noqa: E731
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+            assert not in_batched[0], "alphas is a per-solver constant"
+            if in_batched[5]:
+                # per-scenario goal trajectories don't fit the kernel's
+                # shared-SMEM g_z: keep the scan path
+                uss, costs = jax.vmap(
+                    lambda k2, K2, x2, u2, g2: scan_ls(alphas, k2, K2, x2, u2, g2)
+                )(*(bc(a, f) for a, f in zip(args, in_batched[1:])))
+                return (uss, costs), (True, True)
+            ks_b, Ks_b, xs_b, us_b = (
+                bc(a, f) for a, f in zip(args[:4], in_batched[1:5])
+            )
+            uss, costs = fused_linesearch(
+                self.model, alphas, xs_b[:, 0], us_b, ks_b, Ks_b, xs_b,
+                args[4], with_terminal=False,
+            )
+            return (jnp.swapaxes(uss, 0, 1), jnp.swapaxes(costs, 0, 1)), (
+                True, True)
+
+        return ls(self.alphas, ks, Ks, xs, us, g_z)
+
     # -- reference-numerics backward pass (diag_hessian compat) ----------------
     def backward_pass_ref(self, d: _Derivs, mu):
         """Replicates ``MPCBenchmark/agents/ilqr.py:280-333`` numerically.
@@ -456,11 +502,15 @@ class ILQR(Solver):
                     lambda a, nz: self.forward_pass(a, ks, Ks, xs, us_c, g_z, nz)
                 )
                 new_xss, new_uss, new_costs = fwd(alphas, nz_fwd)
+            elif use_pallas_riccati(self.pallas_backward) and linesearch_applicable(
+                model
+            ):
+                new_uss, new_costs = self.linesearch_cv(ks, Ks, xs, us_c, g_z)
             else:
                 fwd = jax.vmap(
                     lambda a: self.forward_pass(a, ks, Ks, xs, us_c, g_z)
                 )
-                new_xss, new_uss, new_costs = fwd(alphas)
+                _new_xss, new_uss, new_costs = fwd(alphas)
 
             if self.reference_accept:
                 # Sequential accept replay (ilqr.py:149-206): stop at the first

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
 from ..ops.linearize import linearize_dynamics, quadratize_cost
 from ..ops.riccati import tvlqr_backward, tvlqr_backward_assoc_general
 from ..ops.riccati_pallas import (
@@ -112,6 +113,49 @@ class SQP(Solver):
         # pass drops it — ilqr.py:340-350)
         return us_new, cost + model.final_cost(x_last, g_z[-1])
 
+    def linesearch_cv(self, policy, xs, us, g_z):
+        """All-alpha line search; under vmap every (alpha, scenario)
+        candidate runs in ONE fused Pallas feedback-rollout launch
+        (``ops/fused_linesearch.py``, with the terminal cost the SQP
+        objective includes); unbatched solves keep the scan."""
+        # alphas travels as an ARGUMENT, never a closure: this runs inside
+        # the solve's scan-body trace, where even constant arithmetic yields
+        # body-trace tracers — a closure would leak them into the vmap rule,
+        # which executes under a different trace.
+        def scan_ls(alphas, k, K, xs, us, g_z):
+            from ..ops.riccati import TVLQRPolicy
+
+            pol = TVLQRPolicy(K=K, k=k)
+            return jax.vmap(lambda a: self._try_step(a, pol, xs, us, g_z))(alphas)
+
+        @jax.custom_batching.custom_vmap
+        def ls(alphas, k, K, xs, us, g_z):
+            return scan_ls(alphas, k, K, xs, us, g_z)
+
+        @ls.def_vmap
+        def _rule(axis_size, in_batched, alphas, *args):
+            bc = lambda a, b: (  # noqa: E731
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+            assert not in_batched[0], "alphas is a per-solver constant"
+            if in_batched[5]:
+                # per-scenario goals don't fit the kernel's shared-SMEM g_z
+                uss, costs = jax.vmap(
+                    lambda k2, K2, x2, u2, g2: scan_ls(alphas, k2, K2, x2, u2, g2)
+                )(*(bc(a, f) for a, f in zip(args, in_batched[1:])))
+                return (uss, costs), (True, True)
+            k_b, K_b, xs_b, us_b = (
+                bc(a, f) for a, f in zip(args[:4], in_batched[1:5])
+            )
+            uss, costs = fused_linesearch(
+                self.model, alphas, xs_b[:, 0], us_b, k_b, K_b, xs_b,
+                args[4], with_terminal=True,
+            )
+            return (jnp.swapaxes(uss, 0, 1), jnp.swapaxes(costs, 0, 1)), (
+                True, True)
+
+        return ls(self.alphas, policy.k, policy.K, xs, us, g_z)
+
     def solve(self, state: SQPState, x, g_z):
         with jax.default_matmul_precision("highest"):
             return self._solve(state, x, g_z)
@@ -139,6 +183,10 @@ class SQP(Solver):
                 cand_us, cand_costs = jax.vmap(
                     lambda a, nz: self._try_step(a, policy, xs, us, g_z, nz)
                 )(alphas, nz_fwd)
+            elif use_pallas_riccati(self.pallas_backward) and linesearch_applicable(
+                self.model
+            ):
+                cand_us, cand_costs = self.linesearch_cv(policy, xs, us, g_z)
             else:
                 cand_us, cand_costs = jax.vmap(
                     lambda a: self._try_step(a, policy, xs, us, g_z)
