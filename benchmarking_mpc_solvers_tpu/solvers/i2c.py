@@ -36,7 +36,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.i2c_pallas import i2c_smooth_batch
 from ..ops.linearize import linearize_dynamics
+from ..ops.riccati_pallas import use_pallas_riccati
 from ..ops.rollout import rollout, rollout_noisy
 from .base import Solver
 
@@ -60,6 +62,9 @@ class I2C(Solver):
     # rollout the smoother linearizes around gets additive state noise — the
     # reference's noisy model.predict (models/model.py:42-43)
     model_noise_std: float = 0.0
+    # batched KF + RTS smoothing as two Pallas launches when the solve is
+    # vmapped (ops/i2c_pallas.py). None = auto (TPU backend only).
+    pallas_smoother: "bool | None" = None
 
     def init_state(self, key) -> I2CState:
         return I2CState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
@@ -94,19 +99,32 @@ class I2C(Solver):
         Z = W.shape[0]
         R = jnp.linalg.inv(2.0 * alpha * (W + self.eps_w * jnp.eye(Z)))
 
-        Q_proc = jnp.zeros((D, D), jnp.float32)
-        Q_proc = Q_proc.at[:S, :S].set(self.eps_x * jnp.eye(S))
-        Q_proc = Q_proc.at[S:, S:].set(self.sigma_u**2 * jnp.eye(A))
-
         F = jnp.zeros((T, D, D), jnp.float32)
         F = F.at[:, :S, :S].set(dyn.A).at[:, :S, S:].set(dyn.B)
         m = jnp.concatenate([dyn.c, us], axis=1)  # (T, D); ū as control prior mean
 
         # prior at t=0: x0 known (tight), u_0 ~ N(ū_0, Σ_u)
         mu0 = jnp.concatenate([x0, us[0]])
+
+        mu_smooth = self._kf_rts_cv(F, m, Js, z0s, R, mu0, g_z)
+        return mu_smooth[:, S:]  # smoothed control means
+
+    def _prior_covs(self):
+        """(sig0, Q_proc) from the static solver constants."""
+        S, A = self.model.state_size, self.model.action_size
+        D = S + A
+        Q_proc = jnp.zeros((D, D), jnp.float32)
+        Q_proc = Q_proc.at[:S, :S].set(self.eps_x * jnp.eye(S))
+        Q_proc = Q_proc.at[S:, S:].set(self.sigma_u**2 * jnp.eye(A))
         sig0 = jnp.zeros((D, D), jnp.float32)
         sig0 = sig0.at[:S, :S].set(1e-8 * jnp.eye(S))
         sig0 = sig0.at[S:, S:].set(self.sigma_u**2 * jnp.eye(A))
+        return sig0, Q_proc
+
+    def _kf_rts(self, F, m, Js, z0s, R, mu0, g_z):
+        """Forward KF + backward RTS over the augmented chain (scan path);
+        returns smoothed means (T, D)."""
+        sig0, Q_proc = self._prior_covs()
 
         def update(mu_p, sig_p, J, z0, g):
             sig_y = J @ sig_p @ J.T + R
@@ -140,8 +158,45 @@ class I2C(Solver):
         init = (mu_f[-1], sig_f[-1])
         per_t = (mu_f[:-1], sig_f[:-1], mu_pred[:-1], sig_pred[:-1], F[:-1])
         (_, _), mu_s = lax.scan(bstep, init, per_t, reverse=True)
-        mu_smooth = jnp.concatenate([mu_s, mu_f[-1][None]], axis=0)  # (T, D)
-        return mu_smooth[:, S:]  # smoothed control means
+        return jnp.concatenate([mu_s, mu_f[-1][None]], axis=0)  # (T, D)
+
+    def _kf_rts_cv(self, F, m, Js, z0s, R, mu0, g_z):
+        """KF+RTS with a ``custom_vmap`` rule: batched solves run the whole
+        filter and smoother as two Pallas launches (``ops/i2c_pallas.py``)
+        instead of vmapped scans of per-step ``linalg.solve`` kernels;
+        unbatched solves keep the scans."""
+        if not use_pallas_riccati(self.pallas_smoother):
+            return self._kf_rts(F, m, Js, z0s, R, mu0, g_z)
+
+        def scan_kf(F, m, Js, z0s, R, mu0, g_z):
+            return self._kf_rts(F, m, Js, z0s, R, mu0, g_z)
+
+        @jax.custom_batching.custom_vmap
+        def kf(F, m, Js, z0s, R, mu0, g_z):
+            return scan_kf(F, m, Js, z0s, R, mu0, g_z)
+
+        @kf.def_vmap
+        def _rule(axis_size, in_batched, *args):
+            bc = lambda a, b: (  # noqa: E731
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+            if in_batched[6]:
+                # per-scenario goals don't fit the kernel's shared-SMEM g_z
+                out = jax.vmap(scan_kf)(
+                    *(bc(a, f) for a, f in zip(args, in_batched))
+                )
+                return out, True
+            Fb, mb, Jb, z0b, Rb, mu0b = (
+                bc(a, f) for a, f in zip(args[:6], in_batched[:6])
+            )
+            sig0, Q_proc = self._prior_covs()
+            return (
+                i2c_smooth_batch(Fb, mb, Jb, z0b, Rb, mu0b, sig0, Q_proc,
+                                 args[6]),
+                True,
+            )
+
+        return kf(F, m, Js, z0s, R, mu0, g_z)
 
     def solve(self, state: I2CState, x, g_z):
         model = self.model
