@@ -57,7 +57,7 @@ def _nz_pairs(W):
     ]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8, 9))
+@functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
 def fused_linesearch(
     model: Model,
     alphas,  # (n_a,) step sizes
@@ -69,12 +69,20 @@ def fused_linesearch(
     g_z,  # (T, Z) goal features
     with_terminal: bool = False,
     interpret: bool | None = None,
+    return_states: bool = False,
 ):
     """All line-search candidates of a batched iLQR/SQP iteration in one
     kernel launch. Returns ``(us_hat, costs)`` with shapes
     ``(n_a, B, T, 1)`` and ``(n_a, B)`` — the batched outputs of
     ``vmap_alpha(vmap_B(forward_pass))`` (controls clipped, cost summed
-    over the horizon, + terminal when ``with_terminal``)."""
+    over the horizon, + terminal when ``with_terminal``).
+
+    ``return_states=True`` additionally streams each candidate's state
+    trajectory back out — ``(us_hat, xs_hat, costs)`` with ``xs_hat`` of
+    shape ``(n_a, B, T+1, S)`` — so the accepting caller can adopt the
+    winning candidate's rollout and skip re-simulating it (the iteration's
+    only remaining sequential scan, ``solvers/sqp.py:_solve`` /
+    ``solvers/ilqr.py:_solve``)."""
     if model.action_size != 1:
         raise NotImplementedError("fused line search supports action_size == 1")
     if interpret is None:
@@ -112,7 +120,11 @@ def fused_linesearch(
     xref_t = lanes_bcast(xref[:, :T])  # (T, S, 8, LB)
 
     def kernel(gz_ref, alpha_r, x0_r, us_r, ks_r, Ks_r, xref_r,
-               ushat_r, cost_r, x_s, acc_s):
+               ushat_r, cost_r, *rest):
+        if return_states:
+            xsout_r, xT_r, x_s, acc_s = rest
+        else:
+            x_s, acc_s = rest
         t = pl.program_id(1)
 
         @pl.when(t == 0)
@@ -128,6 +140,9 @@ def fused_linesearch(
         u_hat = us_r[0] + alpha_r[:] * ks_r[0] + fb
         u_hat = jnp.clip(u_hat, lo, hi)
         ushat_r[0] = u_hat
+        if return_states:
+            for i in range(S):
+                xsout_r[0, i] = x[i]
 
         # stage cost at the current (x, u_hat) (reference predict contract)
         xs = jnp.stack(x)  # (S, 8, LANES) — model fns index component rows
@@ -140,6 +155,11 @@ def fused_linesearch(
         x_new = model.dynamics(xs, u_hat[None])
         for i in range(S):
             x_s[i] = x_new[i]
+        if return_states:
+            @pl.when(t == T - 1)
+            def _():
+                for i in range(S):
+                    xT_r[i] = x_new[i]
 
         if nzT:
             @pl.when(t == T - 1)
@@ -164,7 +184,25 @@ def fused_linesearch(
     im_t = lambda nd: (lambda ib, it: (it,) + (0,) * (nd - 2) + (ib,))  # noqa: E731
     const = lambda nd: (lambda ib, it: (0,) * (nd - 1) + (ib,))  # noqa: E731
 
-    ushat_t, cost_t = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec((1, SUBLANES, LANES), im_t(3), memory_space=vm),
+        pl.BlockSpec((SUBLANES, LANES), const(2), memory_space=vm),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((T, SUBLANES, LB), jnp.float32),
+        jax.ShapeDtypeStruct((SUBLANES, LB), jnp.float32),
+    ]
+    if return_states:
+        out_specs += [
+            pl.BlockSpec((1, S, SUBLANES, LANES), im_t(4), memory_space=vm),
+            pl.BlockSpec((S, SUBLANES, LANES), const(3), memory_space=vm),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((T, S, SUBLANES, LB), jnp.float32),
+            jax.ShapeDtypeStruct((S, SUBLANES, LB), jnp.float32),
+        ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(Np // TILE, T),
         in_specs=[
@@ -176,25 +214,28 @@ def fused_linesearch(
             pl.BlockSpec((1, S, SUBLANES, LANES), im_t(4), memory_space=vm),
             pl.BlockSpec((1, S, SUBLANES, LANES), im_t(4), memory_space=vm),
         ],
-        out_specs=(
-            pl.BlockSpec((1, SUBLANES, LANES), im_t(3), memory_space=vm),
-            pl.BlockSpec((SUBLANES, LANES), const(2), memory_space=vm),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((T, SUBLANES, LB), jnp.float32),
-            jax.ShapeDtypeStruct((SUBLANES, LB), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((S, SUBLANES, LANES), jnp.float32),
             pltpu.VMEM((SUBLANES, LANES), jnp.float32),
         ],
         interpret=interpret,
     )(g_z, alpha_t, x0_t, us_t, ks_t, Ks_t, xref_t)
+    ushat_t, cost_t = outs[0], outs[1]
 
-    us_hat = ushat_t.reshape(T, Np)[:, :N].reshape(T, n_a, B)
-    us_hat = jnp.moveaxis(us_hat, 0, -1)[..., None]  # (n_a, B, T, 1)
-    costs = cost_t.reshape(Np)[:N].reshape(n_a, B)
-    return us_hat, costs
+    def delanes(x_t, lead):  # (*lead, 8, LB) -> (*lead, n_a, B)
+        return x_t.reshape(lead + (Np,))[..., :N].reshape(lead + (n_a, B))
+
+    us_hat = jnp.moveaxis(delanes(ushat_t, (T,)), 0, -1)[..., None]  # (n_a,B,T,1)
+    costs = delanes(cost_t, ())
+    if not return_states:
+        return us_hat, costs
+    xs_t = delanes(outs[2], (T, S))  # (T, S, n_a, B)
+    xT_t = delanes(outs[3], (S,))  # (S, n_a, B)
+    xs_hat = jnp.concatenate([xs_t, xT_t[None]], axis=0)  # (T+1, S, n_a, B)
+    xs_hat = jnp.transpose(xs_hat, (2, 3, 0, 1))  # (n_a, B, T+1, S)
+    return us_hat, xs_hat, costs
 
 
 def linesearch_applicable(model: Model) -> bool:

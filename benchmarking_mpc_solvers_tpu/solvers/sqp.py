@@ -90,7 +90,9 @@ class SQP(Solver):
         return tvlqr_backward(dyn, cost, reg=0.0)
 
     def _try_step(self, alpha, policy, xs, us, g_z, xnoise=None):
-        """Closed-loop forward application of the deviation policy."""
+        """Closed-loop forward application of the deviation policy. Returns
+        ``(us_new, xs_new, cost)`` — the realized trajectory travels back so
+        the accepting caller can adopt it without re-simulating."""
         model = self.model
         if xnoise is None:
             xnoise = jnp.zeros((self.T, model.state_size), jnp.float32)
@@ -101,23 +103,26 @@ class SQP(Solver):
             u_new = u + alpha * k + K @ (x - x_ref)
             u_new = jnp.clip(u_new, model.lo, model.hi)
             x_next, c = model.step_and_cost(x, u_new, gz)
-            return (x_next + nz, cost + c), u_new
+            return (x_next + nz, cost + c), (u_new, x_next + nz)
 
-        (x_last, cost), us_new = lax.scan(
+        (x_last, cost), (us_new, xs_tail) = lax.scan(
             step,
             (xs[0], jnp.zeros((), jnp.float32)),
             (us, policy.K, policy.k, xs[:-1], g_z, xnoise),
         )
+        xs_new = jnp.concatenate([xs[:1], xs_tail], axis=0)
         # terminal cost keeps the line-search objective consistent with the
         # quadratized subproblem (unlike the reference iLQR, whose forward
         # pass drops it — ilqr.py:340-350)
-        return us_new, cost + model.final_cost(x_last, g_z[-1])
+        return us_new, xs_new, cost + model.final_cost(x_last, g_z[-1])
 
     def linesearch_cv(self, policy, xs, us, g_z):
         """All-alpha line search; under vmap every (alpha, scenario)
         candidate runs in ONE fused Pallas feedback-rollout launch
         (``ops/fused_linesearch.py``, with the terminal cost the SQP
-        objective includes); unbatched solves keep the scan."""
+        objective includes); unbatched solves keep the scan. Returns
+        ``(uss, xss, costs)`` — candidate trajectories included, so the
+        accepted one replaces the next iteration's nominal rollout."""
         # alphas travels as an ARGUMENT, never a closure: this runs inside
         # the solve's scan-body trace, where even constant arithmetic yields
         # body-trace tracers — a closure would leak them into the vmap rule,
@@ -140,19 +145,22 @@ class SQP(Solver):
             assert not in_batched[0], "alphas is a per-solver constant"
             if in_batched[5]:
                 # per-scenario goals don't fit the kernel's shared-SMEM g_z
-                uss, costs = jax.vmap(
+                uss, xss, costs = jax.vmap(
                     lambda k2, K2, x2, u2, g2: scan_ls(alphas, k2, K2, x2, u2, g2)
                 )(*(bc(a, f) for a, f in zip(args, in_batched[1:])))
-                return (uss, costs), (True, True)
+                return (uss, xss, costs), (True, True, True)
             k_b, K_b, xs_b, us_b = (
                 bc(a, f) for a, f in zip(args[:4], in_batched[1:5])
             )
-            uss, costs = fused_linesearch(
+            uss, xss, costs = fused_linesearch(
                 self.model, alphas, xs_b[:, 0], us_b, k_b, K_b, xs_b,
-                args[4], with_terminal=True,
+                args[4], with_terminal=True, return_states=True,
             )
-            return (jnp.swapaxes(uss, 0, 1), jnp.swapaxes(costs, 0, 1)), (
-                True, True)
+            return (
+                jnp.swapaxes(uss, 0, 1),
+                jnp.swapaxes(xss, 0, 1),
+                jnp.swapaxes(costs, 0, 1),
+            ), (True, True, True)
 
         return ls(self.alphas, policy.k, policy.K, xs, us, g_z)
 
@@ -161,36 +169,78 @@ class SQP(Solver):
             return self._solve(state, x, g_z)
 
     def _solve(self, state: SQPState, x, g_z):
+        if self.model_noise_std > 0.0:
+            return self._solve_noisy(state, x, g_z)
+        model = self.model
+        alphas = self.alphas
+
+        # nominal rollout ONCE; thereafter the accepted line-search
+        # candidate's realized trajectory (streamed out of the fused kernel)
+        # replaces it, removing the per-iteration sequential T-step scan —
+        # the iteration's only remaining scan-shaped stage
+        xs0, cost0 = simulate_trajectory(model, x, state.planned_us, g_z)
+        cost0 = cost0 + model.final_cost(xs0[-1], g_z[-1])
+
+        def body(carry, _):
+            us, xs, cost, reg, done = carry
+            policy = self._subproblem(xs, us, g_z, reg)
+            if use_pallas_riccati(self.pallas_backward) and linesearch_applicable(
+                self.model
+            ):
+                cand_us, cand_xs, cand_costs = self.linesearch_cv(
+                    policy, xs, us, g_z
+                )
+            else:
+                cand_us, cand_xs, cand_costs = jax.vmap(
+                    lambda a: self._try_step(a, policy, xs, us, g_z)
+                )(alphas)
+            best = jnp.argmin(cand_costs)
+            best_cost = cand_costs[best]
+            improved = best_cost < cost - self.tol * jnp.abs(cost)
+            accept = jnp.logical_and(improved, ~done)
+            us = jnp.where(accept, cand_us[best], us)
+            xs = jnp.where(accept, cand_xs[best], xs)
+            cost = jnp.where(accept, best_cost, cost)
+            reg = jnp.where(
+                accept,
+                jnp.maximum(reg / self.reg_factor, self.reg_min),
+                jnp.minimum(reg * self.reg_factor, self.reg_max),
+            )
+            done = jnp.logical_or(done, ~improved)
+            return (us, xs, cost, reg, done), None
+
+        (us, _, _, _, _), _ = lax.scan(
+            body,
+            (state.planned_us, xs0, cost0, jnp.float32(self.reg_init),
+             jnp.bool_(False)),
+            None,
+            length=self.max_iter,
+        )
+        us = jnp.clip(us, model.lo, model.hi)
+        return SQPState(us, state.key), us[0], {}
+
+    def _solve_noisy(self, state: SQPState, x, g_z):
+        """model_noise path: the nominal rollout and every line-search
+        forward pass draw fresh state noise per iteration (the reference's
+        noisy ``model.predict``), so trajectories cannot be reused."""
         model = self.model
         alphas = self.alphas
 
         def body(carry, _):
             us, reg, done, key = carry
-            if self.model_noise_std > 0.0:
-                key, k_sim, k_fwd = jax.random.split(key, 3)
-                nz_sim = self.model_noise_std * jax.random.normal(
-                    k_sim, (self.T, model.state_size), jnp.float32
-                )
-                xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
-            else:
-                xs, cost = simulate_trajectory(model, x, us, g_z)
+            key, k_sim, k_fwd = jax.random.split(key, 3)
+            nz_sim = self.model_noise_std * jax.random.normal(
+                k_sim, (self.T, model.state_size), jnp.float32
+            )
+            xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
             cost = cost + model.final_cost(xs[-1], g_z[-1])
             policy = self._subproblem(xs, us, g_z, reg)
-            if self.model_noise_std > 0.0:
-                nz_fwd = self.model_noise_std * jax.random.normal(
-                    k_fwd, (self.n_alphas, self.T, model.state_size), jnp.float32
-                )
-                cand_us, cand_costs = jax.vmap(
-                    lambda a, nz: self._try_step(a, policy, xs, us, g_z, nz)
-                )(alphas, nz_fwd)
-            elif use_pallas_riccati(self.pallas_backward) and linesearch_applicable(
-                self.model
-            ):
-                cand_us, cand_costs = self.linesearch_cv(policy, xs, us, g_z)
-            else:
-                cand_us, cand_costs = jax.vmap(
-                    lambda a: self._try_step(a, policy, xs, us, g_z)
-                )(alphas)
+            nz_fwd = self.model_noise_std * jax.random.normal(
+                k_fwd, (self.n_alphas, self.T, model.state_size), jnp.float32
+            )
+            cand_us, _cand_xs, cand_costs = jax.vmap(
+                lambda a, nz: self._try_step(a, policy, xs, us, g_z, nz)
+            )(alphas, nz_fwd)
             best = jnp.argmin(cand_costs)
             best_cost = cand_costs[best]
             improved = best_cost < cost - self.tol * jnp.abs(cost)

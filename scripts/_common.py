@@ -20,10 +20,19 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 # plugin in this environment re-forces jax_platforms at import, so honor
 # BMPC_PLATFORM=cpu here (useful for quick smoke runs off-TPU).
 import os as _os  # noqa: E402
-if _os.environ.get("BMPC_PLATFORM"):
-    import jax as _jax  # noqa: E402
+import jax as _jax  # noqa: E402
 
+if _os.environ.get("BMPC_PLATFORM"):
     _jax.config.update("jax_platforms", _os.environ["BMPC_PLATFORM"])
+
+# Persistent compilation cache: the study sweeps compile one XLA program per
+# (solver, T, K, length) shape; caching makes interrupted sweeps resume in
+# seconds and de-duplicates shapes shared across scripts.
+_cache_dir = _os.environ.get("BMPC_COMPILE_CACHE",
+                             str(pathlib.Path.home() / ".bmpc_xla_cache"))
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from benchmarking_mpc_solvers_tpu.experiment import Experiment, ResultStore  # noqa: E402
 

@@ -234,15 +234,20 @@ def main():
     s, lat, c, v = episode_metrics(env, solver, cfg, B=4 if q else 1024, quick=q)
     report("cartpole swing-up iLQR T=100 batched 1k states", s, lat, c, v)
 
-    # 4. acrobot NMPC via SQP, T=100
+    # 4. acrobot NMPC via SQP, T=100, batched over 1k initial states.
+    # max_iter=4: receding-horizon warm starts converge the Gauss-Newton
+    # iteration in <=3 steps here — median episode cost is IDENTICAL (312.1)
+    # at max_iter 3/4/6, so the extra iterations were masked no-ops burning
+    # kernel time (profile: scripts/PROFILE_SQP_r03.json, ~1.15 ms per
+    # subproblem+linesearch iteration at B=128)
     env = AcrobotEnv
-    solver = SQP(model=env.model, T=10 if q else 100, max_iter=2 if q else 6)
+    solver = SQP(model=env.model, T=10 if q else 100, max_iter=2 if q else 4)
     cfg = EpisodeConfig(n_steps=3 if q else 20, record_plans=False)
-    B4 = 4 if q else 128
+    B4 = 4 if q else 1024
     x0s4 = jnp.tile(jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32), (B4, 1))
     s, lat, c, v = episode_metrics(env, solver, cfg, B=B4, quick=q,
                                    inner=3 if q else 5, x0s=x0s4)
-    report("acrobot NMPC SQP T=100", s, lat, c, v)
+    report("acrobot NMPC SQP T=100 batched 1k states", s, lat, c, v)
 
     # 5. multi-solver sweep sharded over the device mesh — ALL SIX families
     from jax.sharding import NamedSharding, PartitionSpec as P

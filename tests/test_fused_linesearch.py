@@ -67,12 +67,44 @@ def test_matches_vmapped_sqp_try_step():
 
         return jax.vmap(one)(alphas)
 
-    uss_s, costs_s = jax.vmap(scan_all)(us, ks, Ks, xref)
-    uss_p, costs_p = fused_linesearch(
-        model, alphas, x0, us, ks, Ks, xref, g_z, with_terminal=True
+    uss_s, xss_s, costs_s = jax.vmap(scan_all)(us, ks, Ks, xref)
+    uss_p, xss_p, costs_p = fused_linesearch(
+        model, alphas, x0, us, ks, Ks, xref, g_z, with_terminal=True,
+        return_states=True,
     )
     np.testing.assert_allclose(
         jnp.swapaxes(uss_p, 0, 1), uss_s, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        jnp.swapaxes(xss_p, 0, 1), xss_s, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        jnp.swapaxes(costs_p, 0, 1), costs_s, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_return_states_matches_forward_pass_trajectories():
+    env = CartPoleSwingUpEnv
+    T, B = 9, 3
+    model, x0, us, ks, Ks, xref, g_z = _setup(env, T, B, key=2)
+    solver = ILQR(model=model, T=T)
+    alphas = solver.alphas
+
+    def scan_all(us_b, ks_b, Ks_b, xref_b):
+        return jax.vmap(
+            lambda a: solver.forward_pass(a, ks_b, Ks_b, xref_b, us_b, g_z)
+        )(alphas)
+
+    xss_s, uss_s, costs_s = jax.vmap(scan_all)(us, ks, Ks, xref)  # (B, n_a, ...)
+    uss_p, xss_p, costs_p = fused_linesearch(
+        model, alphas, x0, us, ks, Ks, xref, g_z, with_terminal=False,
+        return_states=True,
+    )  # (n_a, B, ...)
+    np.testing.assert_allclose(
+        jnp.swapaxes(uss_p, 0, 1), uss_s, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        jnp.swapaxes(xss_p, 0, 1), xss_s, rtol=1e-5, atol=1e-5
     )
     np.testing.assert_allclose(
         jnp.swapaxes(costs_p, 0, 1), costs_s, rtol=1e-4, atol=1e-4
