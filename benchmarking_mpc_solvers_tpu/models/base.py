@@ -98,10 +98,28 @@ def quad_cost(W: Array) -> Callable[[Array, Array], Array]:
     same quadratic on row-stacked tiles without re-deriving it.
     """
     W = np.asarray(W, dtype=np.float32)
+    # Contract over the NONZERO entries of W only (same trick as the fused
+    # Pallas kernels): mathematically identical to zd @ W @ zd for every
+    # shipped (symmetric) W, but an overflowed feature (cartpole's
+    # (x/2.4)^10 squared exceeds f32 range once |x| ≳ 400 under heavy
+    # noise) yields +inf instead of the inf*0=nan the dense einsum produces
+    # on W's zero entries — and inf survives the reference aggregation's
+    # per-step clip to [-20, 20] (table_generation.py:37-43) where nan
+    # would poison every median.
+    Wsym = 0.5 * (W + W.T)
+    nz = [
+        (i, j, float(Wsym[i, j] * (1.0 if i == j else 2.0)))
+        for i in range(W.shape[0])
+        for j in range(i, W.shape[0])
+        if Wsym[i, j] != 0.0
+    ]
 
     def cost(z: Array, g_z: Array) -> Array:
         zd = z - g_z
-        return zd @ W @ zd
+        out = jnp.zeros(zd.shape[:-1], dtype=jnp.float32)
+        for i, j, w in nz:
+            out = out + w * (zd[..., i] * zd[..., j])
+        return out
 
     cost.W = W
     return cost

@@ -21,8 +21,10 @@ def generate_data(args):
                     {
                         "env": env,
                         "agent": "ILQR",
+                        # threshold=1e-7 matches the reference sweep
+                        # (/root/reference/scripts/ilqr_tuning.py:24)
                         "agent_config": {"T": T, "max_iter": mi,
-                                         "threshold": 1e-3, "closed_loop": False},
+                                         "threshold": 1e-7, "closed_loop": False},
                         "experiment_length": length,
                         "start_state": START_STATES[env],
                         "repetitions": 1 if args.quick else 5,

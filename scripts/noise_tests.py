@@ -9,10 +9,12 @@ from _common import ENV_NAMES, START_STATES, run_and_store, std_parser
 from benchmarking_mpc_solvers_tpu.experiment import ResultStore, plot_cost_bands
 
 SOLVER_CONFIGS = {
-    "CEM": {"K": 50, "T": 25, "max_iter": 1, "n_elite": 12, "epsilon": 1e-5,
+    # CEM max_iter / ILQR threshold match the reference's noise sweep
+    # (/root/reference/scripts/noise_tests.py:27-30)
+    "CEM": {"K": 50, "T": 25, "max_iter": 10, "n_elite": 12, "epsilon": 1e-5,
             "alpha": 0.2, "std": 1.0},
     "MPPI": {"K": 100, "T": 25, "std": 1.0, "lam": 0.1},
-    "ILQR": {"T": 25, "max_iter": 5, "threshold": 1e-3, "closed_loop": False},
+    "ILQR": {"T": 25, "max_iter": 5, "threshold": 1e-7, "closed_loop": False},
     # beyond reference parity: the solver family the reference left as a
     # 0-byte stub (agents/i2c.py) joins the robustness study
     "I2C": {"T": 25, "max_iter": 5},

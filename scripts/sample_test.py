@@ -38,7 +38,11 @@ def generate_data(args):
                     {
                         "env": env,
                         "agent": "CEM",
-                        "agent_config": {"K": K_cem, "T": T, "max_iter": 1,
+                        # max_iter=10 matches the reference's cem_ratios runs
+                        # (/root/reference/scripts/sample_test.py:33) — the
+                        # published CEM medians come from 10-iteration solves
+                        "agent_config": {"K": K_cem, "T": T,
+                                         "max_iter": 1 if args.quick else 10,
                                          "n_elite": max(1, int(K_cem * ratio)),
                                          "elite_ratio": ratio,
                                          "epsilon": 1e-5, "alpha": 0.2, "std": 1.0},
