@@ -119,7 +119,18 @@ def quad_cost(W: Array) -> Callable[[Array, Array], Array]:
         out = jnp.zeros(zd.shape[:-1], dtype=jnp.float32)
         for i, j, w in nz:
             out = out + w * (zd[..., i] * zd[..., j])
-        return out
+        # saturate at +-1e30 instead of +-inf: a fully-diverged rollout
+        # must still produce a FINITE (astronomically bad) cost, or
+        # downstream baselined softmaxes hit inf-inf=nan (MPPI's
+        # w=exp(-(c-beta)/lam) with every candidate inf) and the nan
+        # propagates into the plan. The cap leaves ~8 orders of headroom
+        # below f32-max so horizon sums of capped stage costs stay finite
+        # too; both sides are clamped because negated-W costs (cartpole's
+        # double negation) overflow to -inf first. The reference computes
+        # the same quadratic in f64 where these regimes stay finite
+        # (~1e40); values are only affected beyond 1e30, astronomically
+        # outside any comparable regime.
+        return jnp.clip(out, -1e30, 1e30)
 
     cost.W = W
     return cost

@@ -90,6 +90,9 @@ def fused_rollout_costs_tm(model: Model, x0_tm, us_tm, g_z, tile: int = DEFAULT_
                 zi = z[i] - gz_ref[t, i]
                 zj = zi if i == j else z[j] - gz_ref[t, j]
                 c = c + w * (zi * zj)
+            # same +-1e30 saturation as models.base.quad_cost: diverged
+            # rollouts must stay finite through the horizon sum
+            c = jnp.clip(c, -1e30, 1e30)
             x_new = model.dynamics(x, u)
             return x_new, acc + c
 

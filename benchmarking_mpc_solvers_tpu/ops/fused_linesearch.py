@@ -147,11 +147,14 @@ def fused_linesearch(
         # stage cost at the current (x, u_hat) (reference predict contract)
         xs = jnp.stack(x)  # (S, 8, LANES) — model fns index component rows
         z = model.transform(xs, u_hat[None])
-        c = acc_s[:]
+        dc = jnp.zeros((SUBLANES, LANES), jnp.float32)
         for i, j, w in nz:
             zi = z[i] - gz_ref[t, i]
             zj = zi if i == j else z[j] - gz_ref[t, j]
-            c = c + w * (zi * zj)
+            dc = dc + w * (zi * zj)
+        # same +-1e30 saturation as models.base.quad_cost: diverged
+        # rollouts must stay finite through the horizon sum
+        c = acc_s[:] + jnp.clip(dc, -1e30, 1e30)
         x_new = model.dynamics(xs, u_hat[None])
         for i in range(S):
             x_s[i] = x_new[i]
@@ -170,6 +173,7 @@ def fused_linesearch(
                     zi = zT[i] - gz_ref[T - 1, i]
                     zj = zi if i == j else zT[j] - gz_ref[T - 1, j]
                     cT = cT + w * (zi * zj)
+                cT = jnp.clip(cT, -1e30, 1e30)
                 acc_s[:] = c + cT
                 cost_r[:] = c + cT
 

@@ -169,6 +169,8 @@ def fused_mppi_step(
                     zi = z[i] - gz_ref[t, i]
                     zj = zi if i == j else z[j] - gz_ref[t, j]
                     c = c + w * (zi * zj)
+                # same +-1e30 saturation as models.base.quad_cost
+                c = jnp.clip(c, -1e30, 1e30)
                 # control penalty λ uᵀ Σ⁻¹ δ with δ = std·d
                 c = c + lam * inv_var * (u[0] * (std * d))
                 x_new = model.dynamics(x, u)
@@ -186,6 +188,9 @@ def fused_mppi_step(
         # written back into the scratch so pass 2 can read them by dynamic
         # index (value-level dynamic_slice is not lowerable on TPU)
         costs = cost_vmem[:]  # (K, 8, TL)
+        # failure guard (cf. solvers/mppi.py): nan-cost candidates
+        # (overflowed rollouts) score 1e30 instead of poisoning min/softmax
+        costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
         beta = jnp.min(costs, axis=0)
         wts = jnp.exp(-(costs - beta[None]) / lam)
         cost_vmem[:] = wts / jnp.sum(wts, axis=0)[None]

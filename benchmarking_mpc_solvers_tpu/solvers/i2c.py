@@ -212,6 +212,13 @@ class I2C(Solver):
                     us_new = self._smooth_once(x, us, g_z, alpha, nz)
                 else:
                     us_new = self._smooth_once(x, us, g_z, alpha)
+                # failure guard (cf. iLQR's Cholesky-NaN handling): if the
+                # smoother diverges (inf linearization Jacobians at
+                # far-out-of-envelope states under heavy model noise), keep
+                # the previous plan instead of adopting a nan one
+                us_new = jnp.where(
+                    jnp.all(jnp.isfinite(us_new)), us_new, us
+                )
                 us_new = jnp.clip(us_new, model.lo, model.hi)
                 alpha = jnp.minimum(alpha * self.anneal, self.alpha_max)
                 return (us_new, alpha, key), None

@@ -82,3 +82,85 @@ def test_experiment_passes_model_noise_to_all_solvers(agent):
     })
     solver, _noise = exp._build()
     assert solver.model_noise_std == pytest.approx(0.3)
+
+
+def test_diverged_cartpole_rollout_costs_stay_finite():
+    """Heavy planning-model noise can push cartpole far outside its envelope,
+    where (x/2.4)^10 squared overflows f32. The cost must saturate at
+    f32-max (the f64 reference stays finite there too), never become
+    inf/nan — nan poisons MPPI's baselined softmax and every aggregation
+    median downstream (observed in the noise_tests sweep)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarking_mpc_solvers_tpu.models import CartPoleSwingUpModel
+    from benchmarking_mpc_solvers_tpu.solvers import MPPI, predict_action
+
+    model = CartPoleSwingUpModel
+    # absurd state: cost saturates finite instead of inf -> nan
+    x_far = jnp.array([5e3, 0.0, 0.0, 0.0], jnp.float32)
+    g = jnp.zeros((model.goal_size,), jnp.float32)
+    c = model.cost(x_far, jnp.zeros((1,), jnp.float32), g)
+    assert np.isfinite(float(c))
+
+    # full MPPI solve planning through a heavily noised model from a
+    # diverged plant state: the returned action and plan must be finite
+    solver = MPPI(model=model, T=10, K=16, std=1.0, lam=0.1,
+                  model_noise_std=1.0)
+    g_z = jnp.zeros((10, model.goal_size), jnp.float32)
+    st = solver.init_state(jax.random.PRNGKey(0))
+    out = jax.jit(lambda s, x: predict_action(solver, s, x, g_z))(st, x_far)
+    assert np.isfinite(np.asarray(out.action)).all()
+    assert np.isfinite(np.asarray(out.state.planned_us)).all()
+
+
+def test_i2c_smoother_divergence_keeps_previous_plan():
+    """I2C's failure guard: at states where the feature linearization
+    overflows, the smoother output is non-finite — the solve must keep the
+    previous (finite) plan rather than adopt nan controls."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarking_mpc_solvers_tpu.models import CartPoleSwingUpModel
+    from benchmarking_mpc_solvers_tpu.solvers import I2C, predict_action
+
+    model = CartPoleSwingUpModel
+    solver = I2C(model=model, T=10, max_iter=3)
+    g_z = jnp.zeros((10, model.goal_size), jnp.float32)
+    x_far = jnp.array([1e20, 0.0, 0.0, 0.0], jnp.float32)
+    st = solver.init_state(jax.random.PRNGKey(0))
+    out = jax.jit(lambda s, x: predict_action(solver, s, x, g_z))(st, x_far)
+    assert np.isfinite(np.asarray(out.action)).all()
+    assert np.isfinite(np.asarray(out.state.planned_us)).all()
+
+
+def test_mppi_softmax_survives_exploding_candidates():
+    """A single planning candidate whose rollout hits Euler instability
+    (theta_dot^2 feedback -> inf -> sin(inf)=nan) must not poison the
+    baselined softmax: with the nan guard the update ignores it. From a
+    state where EVERY candidate explodes, the plan must still come back
+    finite (all candidates scored 1e30, uniform weights)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarking_mpc_solvers_tpu.models import CartPoleSwingUpModel
+    from benchmarking_mpc_solvers_tpu.solvers import MPPI, predict_action
+
+    model = CartPoleSwingUpModel
+    solver = MPPI(model=model, T=25, K=32, std=1.0, lam=0.1)
+    g_z = jnp.zeros((25, model.goal_size), jnp.float32)
+    x_unstable = jnp.array([0.0, 0.0, 1.0, 1e5], jnp.float32)
+    st = solver.init_state(jax.random.PRNGKey(3))
+    out = jax.jit(lambda s, x: predict_action(solver, s, x, g_z))(st, x_unstable)
+    assert np.isfinite(np.asarray(out.action)).all()
+    assert np.isfinite(np.asarray(out.state.planned_us)).all()
+
+    # batched fast path takes the same guard
+    st_b = solver.init_state_batch(jax.random.split(jax.random.PRNGKey(4), 3))
+    xs = jnp.tile(x_unstable, (3, 1))
+    st2, u0, _ = jax.jit(lambda s, x: solver.solve_batch(s, x, g_z))(st_b, xs)
+    assert np.isfinite(np.asarray(u0)).all()
+    assert np.isfinite(np.asarray(st2.planned_us)).all()
