@@ -39,7 +39,11 @@ _PARAM_MAP = {
             "epsilon": "epsilon", "alpha": "alpha", "std": "std"},
     "MPPI": {"K": "K", "T": "T", "std": "std", "lam": "lam"},
     "ILQR": {"T": "T", "max_iter": "max_iter", "threshold": "threshold",
-             "closed_loop": "closed_loop"},
+             "closed_loop": "closed_loop",
+             # extensions beyond the reference's param set (ilqr.py:52-55):
+             # numerics/backward-pass variants, sweepable like any other knob
+             "diag_hessian": "diag_hessian", "ddp": "ddp", "box_ddp": "box_ddp",
+             "gauss_newton": "gauss_newton"},
     "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho"},
     "SQP": {"T": "T", "max_iter": "max_iter"},
     "I2C": {"T": "T", "max_iter": "max_iter", "alpha0": "alpha0",

@@ -86,5 +86,15 @@ def quadratize_cost(model: Model, xs, us, g_z, gauss_newton: bool = True) -> Qua
         return model.final_cost(x, g_z[-1])
 
     qf = jax.grad(cf_fn)(xs[-1])
-    Qf = jax.hessian(cf_fn)(xs[-1])
+    if gauss_newton:
+        # same J^T W J drop of feature curvature for the terminal stage —
+        # exact-Hessian terminals of the nonlinear feature costs (e.g.
+        # cartpole's (x/2.4)^10 and 1-cos(theta) terms) are indefinite far
+        # from the goal, which poisons the Riccati seed V_T
+        zf = lambda x: model.transform(x, jnp.zeros((model.action_size,), x.dtype))  # noqa: E731
+        Jf = jax.jacfwd(zf)(xs[-1])
+        Wf = jax.hessian(lambda z: model.terminal_cost(z, g_z[-1]))(zf(xs[-1])) / 2.0
+        Qf = 2.0 * Jf.T @ Wf @ Jf
+    else:
+        Qf = jax.hessian(cf_fn)(xs[-1])
     return QuadCost(Q, R, M, q, r, Qf, qf)

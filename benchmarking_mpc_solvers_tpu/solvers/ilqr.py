@@ -46,6 +46,15 @@ where behavioral):
   convergence test (cost is updated *before* the check, ``ilqr.py:190-206``),
   so each solve call performs at most one accepted step. ``False`` gives a
   standard best-alpha multi-iteration iLQR.
+- the modern path (``reference_accept=False`` and not ``diag_hessian``)
+  scores the nominal rollout and line-search candidates on stage costs PLUS
+  the terminal cost — the objective the backward pass optimizes. The
+  reference's forward pass drops the terminal cost (``ilqr.py:340-350``),
+  making its acceptance metric disagree with its own Q-model; solves then
+  freeze short of the optimum wherever the two objectives disagree (see
+  ``_terminal_in_objective``). Compat modes keep the truncated metric.
+- ``gauss_newton=True`` swaps the exact cost Hessians for the PSD
+  feature-space Gauss-Newton quadratization (see the field comment).
 """
 
 from __future__ import annotations
@@ -93,6 +102,13 @@ class ILQR(Solver):
     n_alphas: int = 10
     reference_accept: bool = True
     diag_hessian: bool = False  # True = reference's diag-Hessian numerics
+    # True = Gauss-Newton cost quadratization (J^T W J in feature space,
+    # PSD-guaranteed): on cartpole/acrobot the exact Hessians of the
+    # nonlinear feature costs ((x/2.4)^10, 1-cos) are indefinite far from
+    # the goal, stalling the line search (closed-loop medians ~2x worse —
+    # see QUALITY.md); GN restores a descent-guaranteeing quadratic model.
+    # Exact == GN on affine-feature models (synthetic LQR goldens).
+    gauss_newton: bool = False
     ddp: bool = False  # True = full DDP: second-order dynamics terms
     box_ddp: bool = False  # True = control-limited gains (clamp k, mask K)
     # planning-model noise (noise_tests.py model_noise sweeps): the reference
@@ -140,7 +156,15 @@ class ILQR(Solver):
 
             xu = jnp.concatenate([x, u])
             grad = jax.grad(c)(xu)
-            hess = jax.hessian(c)(xu)
+            if self.gauss_newton:
+                def z(xu):
+                    return model.transform(xu[:S], xu[S:])
+
+                J = jax.jacfwd(z)(xu)
+                W = jax.hessian(lambda zz: model.state_cost(zz, gz))(z(xu)) / 2.0
+                hess = 2.0 * J.T @ W @ J
+            else:
+                hess = jax.hessian(c)(xu)
             jac_f = jax.jacfwd(f)(xu)
             return (
                 grad[:S],
@@ -159,7 +183,15 @@ class ILQR(Solver):
 
         x_term = xs[-2] if ref_terminal else xs[-1]
         lx_T = jax.grad(ct)(x_term)
-        lxx_T = jax.hessian(ct)(x_term)
+        if self.gauss_newton:
+            def zt(x):
+                return model.transform(x, jnp.zeros((model.action_size,), x.dtype))
+
+            Jt = jax.jacfwd(zt)(x_term)
+            Wt = jax.hessian(lambda zz: model.terminal_cost(zz, g_z[-1]))(zt(x_term)) / 2.0
+            lxx_T = 2.0 * Jt.T @ Wt @ Jt
+        else:
+            lxx_T = jax.hessian(ct)(x_term)
         return _Derivs(
             jnp.concatenate([l_x, lx_T[None]], axis=0),
             l_u,
@@ -328,7 +360,7 @@ class ILQR(Solver):
             )
             uss, costs = fused_linesearch(
                 self.model, alphas, xs_b[:, 0], us_b, ks_b, Ks_b, xs_b,
-                args[4], with_terminal=False,
+                args[4], with_terminal=self._terminal_in_objective,
             )
             return (jnp.swapaxes(uss, 0, 1), jnp.swapaxes(costs, 0, 1)), (
                 True, True)
@@ -434,7 +466,22 @@ class ILQR(Solver):
         )
         xs_hat = jnp.concatenate([xs_hat[1:], x_last[None]], axis=0)
         xs_hat = jnp.concatenate([xs[:1], xs_hat], axis=0)
+        if self._terminal_in_objective:
+            cost = cost + model.final_cost(x_last, g_z[-1])
         return xs_hat, us_hat, cost
+
+    @property
+    def _terminal_in_objective(self) -> bool:
+        """Modern path only: score the nominal rollout and line-search
+        candidates on stage costs PLUS the terminal cost — the objective the
+        backward pass actually optimizes (lx_T/lxx_T seed the recursion).
+        The reference's forward pass drops the terminal cost
+        (``ilqr.py:340-350``), so its acceptance metric disagrees with its
+        own Q-model; near the optimum every candidate then scores worse on
+        the truncated metric and the solve freezes short of the optimum
+        (caught by test_ilqr_default_path_closed_loop_matches_lqr). Compat
+        modes keep the reference's truncated objective verbatim."""
+        return not (self.reference_accept or self.diag_hessian)
 
     # -- outer loop ------------------------------------------------------------
     def solve(self, state: ILQRState, x, g_z):
@@ -473,6 +520,8 @@ class ILQR(Solver):
                 xs, cost = simulate_trajectory_noisy(model, x, us, g_z, nz_sim)
             else:
                 xs, cost = simulate_trajectory(model, x, us, g_z)
+            if self._terminal_in_objective:
+                cost = cost + model.final_cost(xs[-1], g_z[-1])
             d = self.derivatives(xs, us, g_z, ref_terminal=self.diag_hessian)
             if self.diag_hessian:
                 ks, Ks, bp_ok = self.backward_pass_ref(d, mu)
