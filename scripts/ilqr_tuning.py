@@ -22,9 +22,19 @@ def generate_data(args):
                         "env": env,
                         "agent": "ILQR",
                         # threshold=1e-7 matches the reference sweep
-                        # (/root/reference/scripts/ilqr_tuning.py:24)
+                        # (/root/reference/scripts/ilqr_tuning.py:24).
+                        # diag_hessian=True: this sweep REPLICATES the
+                        # reference study, so it runs the reference's iLQR
+                        # numerics (diagonal cost Hessian + terminal-at-
+                        # x_{T-1} quirk, agents/ilqr.py:24-27,267-271); the
+                        # exact-Hessian modern path is benchmarked separately
+                        # (bench_suite config 3) — on cartpole/acrobot the
+                        # exact cost Hessian of the feature costs is
+                        # indefinite and closed-loop medians degrade ~2x
+                        # (QUALITY.md analysis).
                         "agent_config": {"T": T, "max_iter": mi,
-                                         "threshold": 1e-7, "closed_loop": False},
+                                         "threshold": 1e-7, "closed_loop": False,
+                                         "diag_hessian": True},
                         "experiment_length": length,
                         "start_state": START_STATES[env],
                         "repetitions": 1 if args.quick else 5,

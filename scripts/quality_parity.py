@@ -32,17 +32,38 @@ REF_MEDIANS = {
     ("CartpoleSwingupEnvironment", 10): {"CEM": 3.4e2, "ILQR": 8.8e2, "MPPI": 2.5e2},
     ("CartpoleSwingupEnvironment", 25): {"CEM": 2.7e2, "ILQR": 6.3e2, "MPPI": 2.3e2},
     ("CartpoleSwingupEnvironment", 50): {"CEM": 4.4e2, "ILQR": 6.3e2, "MPPI": 4.4e2},
+    # acrobot medians re-checked against the reference .tex (Median column
+    # is 1e2-scaled there): T=10 ILQR is 13e2=1.3e3, T=25 ILQR 11e2=1.1e3,
+    # T=25 CEM 10e2=1.0e3 (AcrobotEnvironment_T_table.tex:13-18)
     ("AcrobotEnvironment", 5): {"CEM": 1.3e3, "ILQR": 1.2e3, "MPPI": 1.4e3},
-    ("AcrobotEnvironment", 10): {"CEM": 9.2e2, "ILQR": 1.1e3, "MPPI": 1.0e3},
-    ("AcrobotEnvironment", 25): {"CEM": 1.1e3, "ILQR": 1.2e3, "MPPI": 1.2e3},
+    ("AcrobotEnvironment", 10): {"CEM": 9.2e2, "ILQR": 1.3e3, "MPPI": 1.0e3},
+    ("AcrobotEnvironment", 25): {"CEM": 1.0e3, "ILQR": 1.1e3, "MPPI": 1.2e3},
     ("AcrobotEnvironment", 50): {"CEM": 1.1e3, "ILQR": 1.2e3, "MPPI": 1.2e3},
+}
+
+# Reference Q25/Q75 per (env, T, solver) for the cells where we miss the
+# median — the reference's own run-to-run spread is the natural yardstick
+# for a miss (same .tex files, Q-columns; BASELINE.md transcription)
+REF_IQR = {
+    ("PendulumEnvironment", 5): {"CEM": (6.5e2, 6.9e2), "ILQR": (6.4e2, 6.4e2), "MPPI": (8.5e2, 9.1e2)},
+    ("PendulumEnvironment", 10): {"CEM": (4.2e2, 5.5e2), "ILQR": (5.6e2, 5.6e2), "MPPI": (5.6e2, 7.0e2)},
+    ("PendulumEnvironment", 25): {"CEM": (3.6e2, 3.8e2), "ILQR": (3.9e2, 3.9e2), "MPPI": (3.6e2, 5.0e2)},
+    ("PendulumEnvironment", 50): {"CEM": (4.3e2, 5.5e2), "ILQR": (3.5e2, 3.6e2), "MPPI": (3.5e2, 4.9e2)},
+    ("CartpoleSwingupEnvironment", 5): {"CEM": (8.5e2, 1.3e3), "ILQR": (1.3e3, 1.3e3), "MPPI": (9.0e2, 1.2e3)},
+    ("CartpoleSwingupEnvironment", 10): {"CEM": (2.8e2, 4.0e2), "ILQR": (7.6e2, 1.2e3), "MPPI": (2.4e2, 3.5e2)},
+    ("CartpoleSwingupEnvironment", 25): {"CEM": (2.3e2, 4.5e2), "ILQR": (5.8e2, 7.3e2), "MPPI": (1.9e2, 3.3e2)},
+    ("CartpoleSwingupEnvironment", 50): {"CEM": (2.8e2, 8.0e2), "ILQR": (4.9e2, 7.1e2), "MPPI": (3.6e2, 4.9e2)},
+    ("AcrobotEnvironment", 5): {"CEM": (1.1e3, 1.3e3), "ILQR": (1.2e3, 1.3e3), "MPPI": (1.3e3, 1.5e3)},
+    ("AcrobotEnvironment", 10): {"CEM": (8.3e2, 1.1e3), "ILQR": (1.3e3, 1.3e3), "MPPI": (9.5e2, 1.1e3)},
+    ("AcrobotEnvironment", 25): {"CEM": (9.0e2, 1.2e3), "ILQR": (1.1e3, 1.1e3), "MPPI": (1.1e3, 1.5e3)},
+    ("AcrobotEnvironment", 50): {"CEM": (1.0e3, 1.3e3), "ILQR": (1.2e3, 1.2e3), "MPPI": (1.2e3, 1.5e3)},
 }
 
 STORES = ["cem_ratios", "mppi_samples", "temperature_exp", "ilqr_runs2",
           "noise_test"]
 
 
-def our_median(stores, env_name, solver, T):
+def our_stats(stores, env_name, solver, T):
     results = []
     for store in stores:
         results += store.find({
@@ -58,7 +79,7 @@ def our_median(stores, env_name, solver, T):
         max(0, int(np.asarray(r.get("batch_costs", [[0]])).shape[0]) - 1)
         for r in results if r.get("batch_costs") is not None
     )
-    return agg["Median"], n
+    return agg, n
 
 
 def main():
@@ -81,15 +102,17 @@ def main():
         "|---|---|---|---|---|---|---|---|",
     ]
     n_beat = n_match = n_miss = n_absent = 0
+    misses = []
     for (env_name, T), ref_row in sorted(REF_MEDIANS.items()):
         for solver, ref_med in sorted(ref_row.items()):
-            ours, n = our_median(stores, env_name, solver, T)
-            if ours is None:
+            agg, n = our_stats(stores, env_name, solver, T)
+            if agg is None:
                 lines.append(
                     f"| {env_name} | {T} | {solver} | {ref_med:.3g} | — | — | 0 | NO DATA |"
                 )
                 n_absent += 1
                 continue
+            ours = agg["Median"]
             ratio = ours / ref_med
             if ratio < 1.0:
                 verdict, = ("BEAT",); n_beat += 1
@@ -97,6 +120,7 @@ def main():
                 verdict, = ("match",); n_match += 1
             else:
                 verdict, = ("MISS",); n_miss += 1
+                misses.append((env_name, T, solver, ref_med, agg, n))
             lines.append(
                 f"| {env_name} | {T} | {solver} | {ref_med:.3g} | {ours:.3g} "
                 f"| {ratio:.2f} | {n} | {verdict} |"
@@ -106,12 +130,37 @@ def main():
         f"**Summary: {n_beat} beaten, {n_match} matched, {n_miss} missed, "
         f"{n_absent} without data** out of {n_beat + n_match + n_miss + n_absent} "
         "reference table cells.",
-        "",
-        "Misses, if any, are analyzed in the section below the table (solver",
-        "configuration differences vs the reference sweeps are the usual",
-        "cause: the reference's table pools *all* its sweep configurations per",
-        "cell, including deliberately bad ones like lambda=10 MPPI).",
     ]
+    if misses:
+        lines += [
+            "",
+            "## Miss analysis",
+            "",
+            "For every missed median, the reference's own interquartile",
+            "spread for the same cell (Q-columns of the same .tex tables)",
+            "is the yardstick: a miss whose median lies inside the",
+            "reference's [Q25, Q75] is within the reference's own",
+            "run-to-run variation for that configuration, not a solver",
+            "quality gap. Our quartiles are shown for the same comparison.",
+            "",
+            "| Env | T | Solver | ref median [Q25, Q75] | ours median [Q25, Q75] | inside ref IQR? |",
+            "|---|---|---|---|---|---|",
+        ]
+        for env_name, T, solver, ref_med, agg, n in misses:
+            q25, q75 = REF_IQR.get((env_name, T), {}).get(solver, (None, None))
+            inside = (
+                "yes" if (q25 is not None and q25 <= agg["Median"] <= q75)
+                else "NO"
+            )
+            ref_iqr = (
+                f"{ref_med:.3g} [{q25:.3g}, {q75:.3g}]"
+                if q25 is not None else f"{ref_med:.3g} [—]"
+            )
+            lines.append(
+                f"| {env_name} | {T} | {solver} | {ref_iqr} "
+                f"| {agg['Median']:.3g} [{agg['Q 25']:.3g}, {agg['Q 75']:.3g}] "
+                f"| {inside} |"
+            )
     out = pathlib.Path("QUALITY.md")
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
