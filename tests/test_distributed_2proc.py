@@ -16,6 +16,9 @@ import sys
 
 import pytest
 
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
+
 WORKER = r"""
 import os, sys, json
 port, pid = sys.argv[1], int(sys.argv[2])

@@ -1,5 +1,6 @@
 """Fused line-search kernel vs the scan forward passes (ILQR / SQP)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -8,6 +9,9 @@ from benchmarking_mpc_solvers_tpu.envs import CartPoleSwingUpEnv, PendulumEnv
 from benchmarking_mpc_solvers_tpu.ops.fused_linesearch import fused_linesearch
 from benchmarking_mpc_solvers_tpu.ops.rollout import simulate_trajectory
 from benchmarking_mpc_solvers_tpu.solvers import ILQR, SQP
+
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
 
 
 def _setup(env, T, B, key=0):

@@ -1,5 +1,6 @@
 """Pallas KF+RTS smoother kernels vs the I2C scan path."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -7,6 +8,9 @@ import numpy as np
 from benchmarking_mpc_solvers_tpu.envs import CartPoleSwingUpEnv, PendulumEnv
 from benchmarking_mpc_solvers_tpu.ops.i2c_pallas import i2c_smooth_batch
 from benchmarking_mpc_solvers_tpu.solvers import I2C
+
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
 
 
 def _random_problem(key, B, T, S, A, Z):

@@ -95,6 +95,7 @@ def test_graft_entry_single():
 
 
 @requires_multi
+@pytest.mark.slow
 def test_graft_entry_multichip():
     import sys
 

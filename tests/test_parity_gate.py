@@ -40,6 +40,9 @@ from benchmarking_mpc_solvers_tpu.models import (
 from benchmarking_mpc_solvers_tpu.solvers import CEM, ILQR, MPPI, predict_action
 from reference_replica import NP_MODELS, ReplicaCEM, ReplicaILQR, ReplicaMPPI
 
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
+
 STEPS = 100
 GATE = 1e-3  # the BASELINE control-error gate
 # supplementary post-shift-plan check: later-horizon plan entries carry the

@@ -28,6 +28,9 @@ from benchmarking_mpc_solvers_tpu.ops.qp import (
 from benchmarking_mpc_solvers_tpu.ops.qp_pallas import admm_iterate
 from benchmarking_mpc_solvers_tpu.solvers import QPMPC
 
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
+
 
 def _random_spd(key, n):
     A = jax.random.normal(key, (n, n), jnp.float32)

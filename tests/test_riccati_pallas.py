@@ -25,6 +25,9 @@ from benchmarking_mpc_solvers_tpu.ops.riccati_pallas import (
 from benchmarking_mpc_solvers_tpu.solvers import ILQR, SQP
 from benchmarking_mpc_solvers_tpu.solvers.ilqr import _Derivs
 
+# slow tier: excluded from the fast default run (see pytest.ini markers)
+pytestmark = pytest.mark.slow
+
 
 def _random_derivs(key, B, T, S):
     ks = jax.random.split(key, 9)
