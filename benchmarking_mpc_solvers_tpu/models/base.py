@@ -129,7 +129,10 @@ def quad_cost(W: Array) -> Callable[[Array, Array], Array]:
         # double negation) overflow to -inf first. The reference computes
         # the same quadratic in f64 where these regimes stay finite
         # (~1e40); values are only affected beyond 1e30, astronomically
-        # outside any comparable regime.
+        # outside any comparable regime. In the saturated regime the clip
+        # also zeroes the cost gradient — gradient-based solvers recover
+        # via their own finite-guards (iLQR mu-escalation, SQP/I2C
+        # keep-previous-plan), not via the gradient.
         return jnp.clip(out, -1e30, 1e30)
 
     cost.W = W

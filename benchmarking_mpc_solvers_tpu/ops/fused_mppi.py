@@ -190,7 +190,7 @@ def fused_mppi_step(
         costs = cost_vmem[:]  # (K, 8, TL)
         # failure guard (cf. solvers/mppi.py): nan-cost candidates
         # (overflowed rollouts) score 1e30 instead of poisoning min/softmax
-        costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
         beta = jnp.min(costs, axis=0)
         wts = jnp.exp(-(costs - beta[None]) / lam)
         cost_vmem[:] = wts / jnp.sum(wts, axis=0)[None]

@@ -73,7 +73,7 @@ class CEM(Solver):
                 costs, _ = rollout_cost_samples(model, x, samples, g_z)
             # failure guard (cf. mppi.py): a nan-cost candidate (overflowed
             # noisy rollout) is infinitely bad, never elite
-            costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
             rewards = -costs
             _, elite_idx = lax.top_k(rewards, self.n_elite)
             elites = samples[elite_idx]  # (n_elite, T, A)
@@ -136,7 +136,7 @@ class CEM(Solver):
             costs = fused_rollout_costs_tm(
                 model, x0_tm, samples_tm.reshape(T, N), g_z
             ).reshape(B, K)
-            costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
             _, elite_idx = lax.top_k(-costs, self.n_elite)  # (B, n_elite)
             mask = jnp.zeros((B, K), jnp.float32).at[
                 jnp.arange(B)[:, None], elite_idx

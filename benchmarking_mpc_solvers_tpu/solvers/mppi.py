@@ -85,7 +85,7 @@ class MPPI(Solver):
         # (Euler instability under heavy model noise -> sin(inf)=nan) is
         # infinitely bad — score it 1e30 so it gets zero weight instead of
         # poisoning min/softmax with nan (observed in the noise_tests sweep)
-        costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
 
         beta = jnp.min(costs)
         w = jax.nn.softmax(-(costs - beta) / self.lam)
@@ -152,7 +152,7 @@ class MPPI(Solver):
                 / self.std**2
             )
             costs = roll + ctrl
-            costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
             beta = jnp.min(costs, axis=1, keepdims=True)
             w = jax.nn.softmax(-(costs - beta) / self.lam, axis=1)
             upd = jnp.einsum("bk,tbk->bt", w, delta_tm.reshape(T, B, K))
@@ -167,7 +167,7 @@ class MPPI(Solver):
             )(xs, samples)
             ctrl = self.lam * jnp.einsum("bkta,bkta->bk", samples, delta) / self.std**2
             costs = roll + ctrl
-            costs = jnp.where(jnp.isnan(costs), jnp.float32(1e30), costs)
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
             beta = jnp.min(costs, axis=1, keepdims=True)
             w = jax.nn.softmax(-(costs - beta) / self.lam, axis=1)
             planned = state.planned_us + jnp.einsum("bk,bkta->bta", w, delta)

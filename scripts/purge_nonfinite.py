@@ -7,6 +7,7 @@ checkpointed as done, so a plain rerun would skip them.
 """
 
 import json
+import os
 import pathlib
 import sys
 
@@ -22,7 +23,14 @@ def purge(root: str, collection: str) -> int:
     bad_meta = []
     keep_lines = []
     for meta in store._iter_meta():
-        with np.load(store.dir / f"{meta['_id']}.npz", allow_pickle=False) as z:
+        npz = store.dir / f"{meta['_id']}.npz"
+        if not npz.exists():
+            # index entry whose payload vanished (partial copy / crashed
+            # insert): drop the dangling line rather than crash
+            print(f"warning: {npz.name} missing, dropping index entry")
+            bad_meta.append(meta)
+            continue
+        with np.load(npz, allow_pickle=False) as z:
             finite = all(np.isfinite(z[k]).all() for k in z.files)
         if finite:
             keep_lines.append(json.dumps(meta, default=str))
@@ -32,11 +40,16 @@ def purge(root: str, collection: str) -> int:
         print(f"{collection}: all runs finite")
         return 0
     for meta in bad_meta:
-        (store.dir / f"{meta['_id']}.npz").unlink()
+        npz = store.dir / f"{meta['_id']}.npz"
+        if npz.exists():
+            npz.unlink()
         print(f"purged {meta['agent_name']} on {meta['env_name']} "
               f"(sensor={meta.get('sensor_noise')}, "
               f"act={meta.get('actuation_noise')})")
-    store.index_path.write_text("\n".join(keep_lines) + "\n")
+    # atomic index rewrite: a crash mid-write must not lose the collection
+    tmp = store.index_path.with_suffix(".jsonl.tmp")
+    tmp.write_text("\n".join(keep_lines) + "\n")
+    os.replace(tmp, store.index_path)
 
     ckpt_path = store.dir / "sweep_checkpoint.json"
     if ckpt_path.exists():
@@ -63,7 +76,9 @@ def purge(root: str, collection: str) -> int:
 
         kept = [e for e in entries
                 if not any(matches(json.loads(e), m) for m in bad_meta)]
-        ckpt_path.write_text(json.dumps(kept))
+        ckpt_tmp = ckpt_path.with_suffix(".json.tmp")
+        ckpt_tmp.write_text(json.dumps(kept))
+        os.replace(ckpt_tmp, ckpt_path)
         print(f"checkpoint: {len(entries) - len(kept)} entries un-marked")
     return len(bad_meta)
 
