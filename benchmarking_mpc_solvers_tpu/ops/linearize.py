@@ -39,12 +39,25 @@ class QuadCost(NamedTuple):
 
 
 def linearize_dynamics(model: Model, xs, us) -> AffineDynamics:
-    """Jacobians of the dynamics along (xs[:T], us): one fused vmap·jacfwd."""
+    """Jacobians of the dynamics along (xs[:T], us), vmapped over the horizon.
+
+    One ``jax.linearize`` per point: a single primal evaluation shared by
+    the S+A basis-tangent pushes AND the affine residual c — the previous
+    two-jacfwd + extra-primal form evaluated the (RK4) dynamics three times
+    per point, which dominated the SQP iteration at B=1024 x T=100
+    (PROFILE_SQP_r04.json)."""
+    S = model.state_size
 
     def one(x, u):
-        fx = jax.jacfwd(model.dynamics, argnums=0)(x, u)
-        fu = jax.jacfwd(model.dynamics, argnums=1)(x, u)
-        c = model.dynamics(x, u) - fx @ x - fu @ u
+        xu = jnp.concatenate([x, u])
+
+        def f(v):
+            return model.dynamics(v[:S], v[S:])
+
+        y, jvp = jax.linearize(f, xu)
+        J = jax.vmap(jvp)(jnp.eye(xu.shape[0], dtype=xu.dtype))  # (S+A, S)
+        fx, fu = J[:S].T, J[S:].T
+        c = y - fx @ x - fu @ u
         return fx, fu, c
 
     A, B, c = jax.vmap(one)(xs, us)
@@ -57,44 +70,75 @@ def quadratize_cost(model: Model, xs, us, g_z, gauss_newton: bool = True) -> Qua
     ``gauss_newton=True`` drops the transform's curvature (exact when the
     feature map is affine, PSD-guaranteed otherwise) — the right default for
     SQP; ``False`` uses the full Hessian (DDP-style).
+
+    When the outer costs expose their constant weight matrices
+    (``quad_cost``-style ``.W``), the GN path uses the closed form
+    grad = 2 Jᵀ W_sym (z−g), H = 2 Jᵀ W_sym J with only the transform
+    Jacobian J from autodiff — per-point ``jax.hessian``/``jax.grad`` of
+    the cost re-derived the constant W at every (B, T) trajectory point and
+    was the dominant stage of the batched SQP iteration (profile:
+    PROFILE_SQP_r04.json). The closed form also keeps a live gradient in
+    the ±1e30 cost-saturation regime where autodiff sees a zero clip
+    derivative (models/base.py quad_cost).
     """
     S = model.state_size
+    W_state = getattr(model.state_cost, "W", None)
 
-    def one(x, u, gz):
-        xu = jnp.concatenate([x, u])
+    def z_of(v):
+        return model.transform(v[:S], v[S:])
 
-        def c_fn(v):
-            return model.cost(v[:S], v[S:], gz)
+    if gauss_newton and W_state is not None:
+        Wsym = jnp.asarray(W_state, jnp.float32)
+        Wsym = 0.5 * (Wsym + Wsym.T)
 
-        grad = jax.grad(c_fn)(xu)
-        if gauss_newton:
-            # J^T W J with W from the quadratic outer cost: since state_cost
-            # is (z-g)^T W (z-g), GN Hessian = 2 J^T W J where J = dz/d(xu).
-            def z_fn(v):
-                return model.transform(v[:S], v[S:])
+        def one(x, u, gz):
+            xu = jnp.concatenate([x, u])
+            z, J = z_of(xu), jax.jacfwd(z_of)(xu)
+            grad = 2.0 * (J.T @ (Wsym @ (z - gz)))
+            H = 2.0 * (J.T @ Wsym @ J)
+            return grad[:S], grad[S:], H[:S, :S], H[S:, S:], H[S:, :S]
+    else:
+        def one(x, u, gz):
+            xu = jnp.concatenate([x, u])
 
-            J = jax.jacfwd(z_fn)(xu)
-            W = jax.hessian(lambda z: model.state_cost(z, gz))(z_fn(xu)) / 2.0
-            H = 2.0 * J.T @ W @ J
-        else:
-            H = jax.hessian(c_fn)(xu)
-        return grad[:S], grad[S:], H[:S, :S], H[S:, S:], H[S:, :S]
+            def c_fn(v):
+                return model.cost(v[:S], v[S:], gz)
+
+            grad = jax.grad(c_fn)(xu)
+            if gauss_newton:
+                # J^T W J with W recovered from the outer cost's curvature
+                # (fallback for non-quad_cost models without a .W)
+                J = jax.jacfwd(z_of)(xu)
+                W = jax.hessian(lambda z: model.state_cost(z, gz))(z_of(xu)) / 2.0
+                H = 2.0 * J.T @ W @ J
+            else:
+                H = jax.hessian(c_fn)(xu)
+            return grad[:S], grad[S:], H[:S, :S], H[S:, S:], H[S:, :S]
 
     q, r, Q, R, M = jax.vmap(one)(xs[:-1], us, g_z)
 
     def cf_fn(x):
         return model.final_cost(x, g_z[-1])
 
-    qf = jax.grad(cf_fn)(xs[-1])
-    if gauss_newton:
+    W_term = getattr(model.terminal_cost, "W", None)
+    zf = lambda x: model.transform(x, jnp.zeros((model.action_size,), x.dtype))  # noqa: E731
+    if gauss_newton and W_term is not None:
+        # closed form, same as the stage costs above
+        WfT = jnp.asarray(W_term, jnp.float32)
+        WfT = 0.5 * (WfT + WfT.T)
+        zT, Jf = zf(xs[-1]), jax.jacfwd(zf)(xs[-1])
+        qf = 2.0 * (Jf.T @ (WfT @ (zT - g_z[-1])))
+        Qf = 2.0 * (Jf.T @ WfT @ Jf)
+    elif gauss_newton:
         # same J^T W J drop of feature curvature for the terminal stage —
         # exact-Hessian terminals of the nonlinear feature costs (e.g.
         # cartpole's (x/2.4)^10 and 1-cos(theta) terms) are indefinite far
         # from the goal, which poisons the Riccati seed V_T
-        zf = lambda x: model.transform(x, jnp.zeros((model.action_size,), x.dtype))  # noqa: E731
+        qf = jax.grad(cf_fn)(xs[-1])
         Jf = jax.jacfwd(zf)(xs[-1])
         Wf = jax.hessian(lambda z: model.terminal_cost(z, g_z[-1]))(zf(xs[-1])) / 2.0
         Qf = 2.0 * Jf.T @ Wf @ Jf
     else:
+        qf = jax.grad(cf_fn)(xs[-1])
         Qf = jax.hessian(cf_fn)(xs[-1])
     return QuadCost(Q, R, M, q, r, Qf, qf)

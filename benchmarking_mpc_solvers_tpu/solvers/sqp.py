@@ -26,8 +26,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.fused_derivs import fused_derivs
 from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
-from ..ops.linearize import linearize_dynamics, quadratize_cost
+from ..ops.linearize import AffineDynamics, QuadCost, linearize_dynamics, quadratize_cost
 from ..ops.riccati import tvlqr_backward, tvlqr_backward_assoc_general
 from ..ops.riccati_pallas import (
     pallas_riccati_applicable,
@@ -71,11 +72,63 @@ class SQP(Solver):
     def alphas(self):
         return 0.5 ** jnp.arange(self.n_alphas, dtype=jnp.float32)
 
+    def _derivs_cv(self, xs, us, g_z):
+        """linearize + GN-quadratize with a ``custom_vmap`` rule: batched
+        solves compute every (scenario, timestep) derivative in ONE Pallas
+        launch (``ops/fused_derivs.py``) instead of dozens of small
+        XLA-fused autodiff kernels (the dominant stage of the batched SQP
+        iteration — PROFILE_SQP_r04.json); unbatched solves keep the
+        vmapped autodiff. The terminal expansion (one point per scenario)
+        stays on the autodiff path either way."""
+        model = self.model
+        S = model.state_size
+
+        def scan_derivs(xs, us, g_z):
+            dyn = linearize_dynamics(model, xs[:-1], us)
+            cost = quadratize_cost(model, xs, us, g_z, gauss_newton=True)
+            return tuple(dyn) + tuple(cost)
+
+        @jax.custom_batching.custom_vmap
+        def dv(xs, us, g_z):
+            return scan_derivs(xs, us, g_z)
+
+        @dv.def_vmap
+        def _rule(axis_size, in_batched, xs_b, us_b, g_z_):
+            bc = lambda a, b: (  # noqa: E731
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+            if in_batched[2]:
+                # per-scenario goals don't fit the kernel's shared-SMEM g_z
+                out = jax.vmap(scan_derivs)(
+                    bc(xs_b, in_batched[0]), bc(us_b, in_batched[1]), g_z_
+                )
+                return out, tuple(True for _ in out)
+            xs_b, us_b = bc(xs_b, in_batched[0]), bc(us_b, in_batched[1])
+            A, Bd, c, Q, R, M, q, r = fused_derivs(model, xs_b, us_b, g_z_)
+            # terminal expansion: one point per scenario, autodiff path
+            tail = jax.vmap(
+                lambda x: quadratize_cost(
+                    model, x[None].repeat(2, 0), jnp.zeros((1, model.action_size), x.dtype),
+                    g_z_[-1:], gauss_newton=True,
+                )
+            )(xs_b[:, -1])
+            return (A, Bd, c, Q, R, M, q, r, tail.Qf, tail.qf), tuple(
+                True for _ in range(10)
+            )
+
+        out = dv(xs, us, g_z)
+        return AffineDynamics(*out[:3]), QuadCost(*out[3:])
+
     def _subproblem(self, xs, us, g_z, reg):
         """Gauss-Newton TV-LQR step in deviation coordinates; returns the
         affine deviation policy δu = K δx + k."""
-        dyn = linearize_dynamics(self.model, xs[:-1], us)
-        cost = quadratize_cost(self.model, xs, us, g_z, gauss_newton=True)
+        if use_pallas_riccati(self.pallas_backward) and linesearch_applicable(
+            self.model
+        ):
+            dyn, cost = self._derivs_cv(xs, us, g_z)
+        else:
+            dyn = linearize_dynamics(self.model, xs[:-1], us)
+            cost = quadratize_cost(self.model, xs, us, g_z, gauss_newton=True)
         # deviation dynamics are homogeneous (residual c = 0 at the rollout)
         dyn = dyn._replace(c=jnp.zeros_like(dyn.c))
         cost = cost._replace(
