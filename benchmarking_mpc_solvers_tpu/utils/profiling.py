@@ -104,9 +104,11 @@ def device_step_latency(
         per_step.append((t_hi - t_lo) / (n_hi - n_lo))
     import numpy as np
 
+    # the paired-difference estimator is unbiased but can go slightly
+    # negative on sub-microsecond device times; a latency cannot
     return (
-        float(np.percentile(per_step, 50) * 1e3),
-        float(np.percentile(per_step, 90) * 1e3),
+        max(0.0, float(np.percentile(per_step, 50) * 1e3)),
+        max(0.0, float(np.percentile(per_step, 90) * 1e3)),
     )
 
 

@@ -1,5 +1,6 @@
 """QP stack tests: condensing, ADMM, interior-point, Riccati (sequential and
 parallel-in-horizon), SQP — validated against closed forms and each other."""
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -440,3 +441,30 @@ def test_qpmpc_fused_episode_matches_vmapped():
     np.testing.assert_allclose(
         np.asarray(fused.costs), np.asarray(plain.costs), rtol=1e-4, atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_sqp_iteration_count_cost_parity():
+    """bench_suite config 4 runs max_iter=4 (down from 6) on the claim
+    that warm-started Gauss-Newton converges in <=3 iterations; assert the
+    claim instead of leaving it as a comment (ADVICE r3): closed-loop
+    median episode cost must agree between max_iter 4 and 6."""
+    from benchmarking_mpc_solvers_tpu.envs import AcrobotEnv
+    from benchmarking_mpc_solvers_tpu.experiment import EpisodeConfig, run_episode
+    from benchmarking_mpc_solvers_tpu.solvers import SQP
+
+    env = AcrobotEnv
+    B = 8
+    x0s = jnp.tile(jnp.array([0.1, 0.0, 0.2, 0.0], jnp.float32), (B, 1))
+    cfg = EpisodeConfig(n_steps=6, record_plans=False)
+    medians = {}
+    for mi in (4, 6):
+        solver = SQP(model=env.model, T=50, max_iter=mi)
+        keys = jax.random.split(jax.random.PRNGKey(0), B)
+        res = jax.jit(
+            lambda ks, s=solver: jax.vmap(
+                lambda k, x: run_episode(env, s, cfg, k, x)
+            )(ks, x0s)
+        )(keys)
+        medians[mi] = float(np.median(np.asarray(res.costs.sum(axis=-1))))
+    assert abs(medians[4] - medians[6]) <= 0.01 * abs(medians[6]), medians
