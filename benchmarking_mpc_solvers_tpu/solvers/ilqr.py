@@ -66,6 +66,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.fused_derivs import fused_derivs
 from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
 from ..ops.riccati_pallas import (
     pallas_riccati_applicable,
@@ -137,6 +138,58 @@ class ILQR(Solver):
         return 1.1 ** (-jnp.arange(self.n_alphas, dtype=jnp.float32) ** 2)
 
     # -- derivative stage ------------------------------------------------------
+    def _stage_derivs_cv(self, xs, us, g_z):
+        """Stage derivatives (GN path) with a ``custom_vmap`` rule: batched
+        solves compute every (scenario, timestep) Jacobian + GN cost block
+        in ONE Pallas launch (``ops/fused_derivs.py``, shared with SQP);
+        unbatched solves keep the vmapped autodiff. Same trace discipline
+        as ``linesearch_cv`` — everything travels as arguments."""
+        model = self.model
+        S = model.state_size
+
+        def scan_stage(xs, us, g_z):
+            def stage(x, u, gz):
+                xu = jnp.concatenate([x, u])
+
+                def z(v):
+                    return model.transform(v[:S], v[S:])
+
+                def c(v):
+                    return model.cost(v[:S], v[S:], gz)
+
+                def f(v):
+                    return model.dynamics(v[:S], v[S:])
+
+                grad = jax.grad(c)(xu)
+                J = jax.jacfwd(z)(xu)
+                W = jax.hessian(lambda zz: model.state_cost(zz, gz))(z(xu)) / 2.0
+                hess = 2.0 * J.T @ W @ J
+                jac_f = jax.jacfwd(f)(xu)
+                return (grad[:S], grad[S:], hess[:S, :S], hess[S:, S:],
+                        hess[S:, :S], jac_f[:, :S], jac_f[:, S:])
+
+            return jax.vmap(stage)(xs[:-1], us, g_z)
+
+        @jax.custom_batching.custom_vmap
+        def dv(xs, us, g_z):
+            return scan_stage(xs, us, g_z)
+
+        @dv.def_vmap
+        def _rule(axis_size, in_batched, xs_b, us_b, g_z_):
+            bc = lambda a, b: (  # noqa: E731
+                a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            )
+            if in_batched[2]:
+                out = jax.vmap(scan_stage)(
+                    bc(xs_b, in_batched[0]), bc(us_b, in_batched[1]), g_z_
+                )
+                return out, tuple(True for _ in out)
+            xs_b, us_b = bc(xs_b, in_batched[0]), bc(us_b, in_batched[1])
+            A, Bd, _c, Q, R, M, q, r = fused_derivs(model, xs_b, us_b, g_z_)
+            return (q, r, Q, R, M, A, Bd), tuple(True for _ in range(7))
+
+        return dv(xs, us, g_z)
+
     def derivatives(self, xs, us, g_z, ref_terminal: bool = False) -> _Derivs:
         """``ref_terminal=True`` (set by the diag_hessian compat mode)
         evaluates the terminal-cost derivatives at x_{T-1} instead of x_T,
@@ -176,7 +229,17 @@ class ILQR(Solver):
                 jac_f[:, S:],
             )
 
-        l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = jax.vmap(stage)(xs[:-1], us, g_z)
+        if (
+            self.gauss_newton
+            and not ref_terminal
+            and use_pallas_riccati(self.pallas_backward)
+            and linesearch_applicable(model)
+        ):
+            l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = self._stage_derivs_cv(
+                xs, us, g_z
+            )
+        else:
+            l_x, l_u, l_xx, l_uu, l_ux, f_x, f_u = jax.vmap(stage)(xs[:-1], us, g_z)
 
         def ct(x):
             return model.final_cost(x, g_z[-1])

@@ -86,3 +86,27 @@ def test_quadratize_closed_form_matches_autodiff_fallback():
             np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6,
             err_msg=name,
         )
+
+
+def test_ilqr_gn_derivatives_fused_matches_scan():
+    """ILQR's Gauss-Newton derivative stage through the fused kernel
+    (pallas_backward=True, interpret on CPU) equals the vmapped autodiff
+    stage (pallas_backward=False)."""
+    from benchmarking_mpc_solvers_tpu.solvers import ILQR
+
+    m = CartPoleSwingUpEnv.model
+    T, B = 7, 4
+    rng = np.random.default_rng(0)
+    xs = jnp.float32(rng.uniform(-1.2, 1.2, (B, T + 1, m.state_size)))
+    us = jnp.float32(rng.uniform(-1, 1, (B, T, 1)))
+    g_z = jnp.zeros((T, m.goal_size), jnp.float32)
+
+    s_on = ILQR(model=m, T=T, gauss_newton=True, pallas_backward=True)
+    s_off = ILQR(model=m, T=T, gauss_newton=True, pallas_backward=False)
+    d_on = jax.vmap(lambda x, u: s_on.derivatives(x, u, g_z))(xs, us)
+    d_off = jax.vmap(lambda x, u: s_off.derivatives(x, u, g_z))(xs, us)
+    for name, got, want in zip(d_on._fields, d_on, d_off):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+            err_msg=name,
+        )
