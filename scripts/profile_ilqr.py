@@ -1,8 +1,12 @@
-"""Phase breakdown of the batched iLQR iteration (VERDICT r2 item 2).
+"""Phase breakdown of the batched iLQR iteration (config 3).
 
 Times each stage of one iLQR iteration at the BASELINE config-3 shape
-(cartpole swing-up, T=100, B=1024) with the slope timer, so the dominant
-stage is identified before optimizing. Writes PROFILE_ILQR_r03.json.
+(cartpole swing-up, T=100, B=1024). All numbers are chained-dispatch
+paired differences (utils/profiling.device_step_latency), RTT-free —
+the r03 artifact used the 2-point slope timer at small rep counts and
+recorded a physically impossible negative rollout time. Also times the
+fused line-search kernel (the production path) next to the vmapped
+forward passes. Writes PROFILE_ILQR_r04.json.
 """
 
 import json
@@ -17,7 +21,7 @@ import numpy as np
 from benchmarking_mpc_solvers_tpu.envs import CartPoleSwingUpEnv
 from benchmarking_mpc_solvers_tpu.ops.rollout import simulate_trajectory
 from benchmarking_mpc_solvers_tpu.solvers import ILQR
-from benchmarking_mpc_solvers_tpu.utils import slope_timer
+from benchmarking_mpc_solvers_tpu.utils import device_step_latency
 
 
 def main():
@@ -49,11 +53,17 @@ def main():
 
     stages = {}
 
-    # slope_timer expects fn(key); wrap each stage
-    def timed(name, make_scalar):
-        per = slope_timer(make_scalar, inner_reps=3 if q else 5, outer_reps=1 if q else 2)
-        stages[name] = per * 1e3
-        print(f"{name}: {per*1e3:.3f} ms", flush=True)
+    def timed(name, fn):
+        def step(c, k):
+            v = fn(k)
+            return c + v, v
+
+        keys = jax.random.split(jax.random.PRNGKey(3), 8)
+        p50, p90 = device_step_latency(
+            step, jnp.float32(0.0), keys, samples=4 if q else 10
+        )
+        stages[name] = {"p50_ms": round(p50, 4), "p90_ms": round(p90, 4)}
+        print(f"{name}: p50 {p50:.4f} ms  p90 {p90:.4f} ms", flush=True)
 
     with jax.default_matmul_precision("highest"):
         # stage 1: nominal rollout
@@ -63,11 +73,15 @@ def main():
 
         # stage 2: derivatives (current nested-autodiff implementation)
         vder = jax.vmap(lambda xs, us: solver.derivatives(xs, us, g_z))
-        timed("derivatives", lambda k: jnp.sum(
-            vder(xss + 1e-6 * jax.random.normal(k, xss.shape), us0).l_xx))
+        # sum EVERY output so XLA cannot dead-code-eliminate any of the
+        # derivative computation (summing one field under-measures)
+        timed("derivatives", lambda k: sum(
+            jnp.sum(v) for v in vder(
+                xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
 
         # stage 3: backward pass — vmapped scan vs the Pallas kernel
-        vbp = jax.vmap(lambda d: solver.backward_pass(d, mu)[0])
+        vbp = jax.vmap(lambda d: jnp.sum(solver.backward_pass(d, mu)[0])
+                       + jnp.sum(solver.backward_pass(d, mu)[1]))
         timed("backward_scan", lambda k: jnp.sum(
             vbp(derivs._replace(
                 l_x=derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape)))))
@@ -77,10 +91,14 @@ def main():
         )
 
         mub = jnp.full((B,), 1.0, jnp.float32)
-        timed("backward_pallas", lambda k: jnp.sum(riccati_backward_batch(
-            derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape),
-            derivs.l_u, derivs.l_xx, derivs.l_uu, derivs.l_ux,
-            derivs.f_x, derivs.f_u, mub)[0]))
+        def bp_pallas(k):
+            ks, Ks, _ok = riccati_backward_batch(
+                derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape),
+                derivs.l_u, derivs.l_xx, derivs.l_uu, derivs.l_ux,
+                derivs.f_x, derivs.f_u, mub)
+            return jnp.sum(ks) + jnp.sum(Ks)
+
+        timed("backward_pallas", bp_pallas)
 
         # stage 4: 10-alpha line-search forward passes
         ks0 = jnp.zeros((B, T, model.action_size))
@@ -93,8 +111,15 @@ def main():
             )(alphas)
 
         vfwd = jax.vmap(fwd_all)
-        timed("forward_x10", lambda k: jnp.sum(
+        timed("forward_x10_scan", lambda k: jnp.sum(
             vfwd(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
+
+        from benchmarking_mpc_solvers_tpu.ops.fused_linesearch import fused_linesearch
+
+        timed("forward_x10_fused", lambda k: jnp.sum(fused_linesearch(
+            model, alphas, x0s,
+            us0, ks0, Ks0,
+            xss + 1e-6 * jax.random.normal(k, xss.shape), g_z)[1]))
 
         # whole solve (max_iter=5)
         def whole(k):
@@ -106,7 +131,7 @@ def main():
         timed("solve_x5iter", whole)
 
     out = {"config": f"cartpole iLQR T={T} B={B}", "stage_ms": stages}
-    with open("PROFILE_ILQR_r03.json", "w") as f:
+    with open("PROFILE_ILQR_r04.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
