@@ -13,7 +13,7 @@ from _common import ENV_NAMES, std_parser
 from benchmarking_mpc_solvers_tpu.experiment import ResultStore
 
 COLLECTIONS = ["cem_ratios", "mppi_samples", "temperature_exp", "ilqr_runs2",
-               "noise_test", "experiment_test"]
+               "noise_test", "experiment_test", "qp_sqp_i2c"]
 
 
 def generate_plots(args):

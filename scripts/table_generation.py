@@ -7,7 +7,7 @@ from _common import std_parser
 from benchmarking_mpc_solvers_tpu.experiment import ResultStore, generate_tables
 
 COLLECTIONS = ["cem_ratios", "mppi_samples", "temperature_exp", "ilqr_runs2",
-               "experiment_test"]
+               "experiment_test", "qp_sqp_i2c"]
 
 
 def main():
