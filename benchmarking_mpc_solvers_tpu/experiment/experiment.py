@@ -45,9 +45,9 @@ _PARAM_MAP = {
              "diag_hessian": "diag_hessian", "ddp": "ddp", "box_ddp": "box_ddp",
              "gauss_newton": "gauss_newton"},
     "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho"},
-    "SQP": {"T": "T", "max_iter": "max_iter"},
+    "SQP": {"T": "T", "max_iter": "max_iter", "init_std": "init_std"},
     "I2C": {"T": "T", "max_iter": "max_iter", "alpha0": "alpha0",
-            "sigma_u": "sigma_u"},
+            "sigma_u": "sigma_u", "init_std": "init_std"},
 }
 
 

@@ -65,9 +65,22 @@ class I2C(Solver):
     # batched KF + RTS smoothing as two Pallas launches when the solve is
     # vmapped (ops/i2c_pallas.py). None = auto (TPU backend only).
     pallas_smoother: "bool | None" = None
+    # init_std > 0: random initial plan ~ N(0, init_std) clipped to the box
+    # (symmetric-equilibrium escape, cf. sqp.py init_std / the reference
+    # iLQR's N(0, bounds_high) init). Default 0 = zeros (deterministic).
+    init_std: float = 0.0
 
     def init_state(self, key) -> I2CState:
-        return I2CState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
+        T, A = self.T, self.model.action_size
+        if self.init_std > 0.0:
+            k_init, key = jax.random.split(key)
+            us = jnp.clip(
+                self.init_std * jax.random.normal(k_init, (T, A), jnp.float32),
+                self.model.lo, self.model.hi,
+            )
+        else:
+            us = jnp.zeros((T, A), jnp.float32)
+        return I2CState(us, key)
 
     # -- one smoothing iteration ------------------------------------------------
     def _smooth_once(self, x0, us, g_z, alpha, xnoise=None):

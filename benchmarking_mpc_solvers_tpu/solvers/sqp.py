@@ -64,9 +64,24 @@ class SQP(Solver):
     # batched Riccati subproblem as ONE Pallas kernel launch when the solve
     # is vmapped (ops/riccati_pallas.py). None = auto (TPU backend only).
     pallas_backward: "bool | None" = None
+    # init_std > 0 draws the initial plan ~ N(0, init_std) (clipped to the
+    # box) instead of zeros — the swing-up tasks start at symmetric
+    # equilibria where a zero plan has zero gradient and Gauss-Newton can
+    # never leave (the reference's iLQR breaks the symmetry the same way,
+    # agents/ilqr.py:90-91). Default 0 keeps solves deterministic.
+    init_std: float = 0.0
 
     def init_state(self, key) -> SQPState:
-        return SQPState(jnp.zeros((self.T, self.model.action_size), jnp.float32), key)
+        T, A = self.T, self.model.action_size
+        if self.init_std > 0.0:
+            k_init, key = jax.random.split(key)
+            us = jnp.clip(
+                self.init_std * jax.random.normal(k_init, (T, A), jnp.float32),
+                self.model.lo, self.model.hi,
+            )
+        else:
+            us = jnp.zeros((T, A), jnp.float32)
+        return SQPState(us, key)
 
     @property
     def alphas(self):

@@ -20,10 +20,14 @@ from _common import START_STATES, run_and_store, std_parser
 
 from benchmarking_mpc_solvers_tpu.experiment import ResultStore
 
+# init_std=1: the swing-up tasks start at symmetric equilibria where a
+# zero initial plan has zero gradient and local planners never leave;
+# the random init is the same symmetry-break the reference's iLQR uses
+# (agents/ilqr.py:90-91). QPMPC solves a convex problem - no init needed.
 SOLVER_CONFIGS = {
     "QPMPC": lambda T: {"T": T, "max_iter": 50},
-    "SQP": lambda T: {"T": T, "max_iter": 6},
-    "I2C": lambda T: {"T": T, "max_iter": 10},
+    "SQP": lambda T: {"T": T, "max_iter": 6, "init_std": 1.0},
+    "I2C": lambda T: {"T": T, "max_iter": 10, "init_std": 1.0},
 }
 
 

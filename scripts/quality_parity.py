@@ -61,6 +61,11 @@ REF_IQR = {
 
 STORES = ["cem_ratios", "mppi_samples", "temperature_exp", "ilqr_runs2",
           "noise_test"]
+# the three solver families the reference never had (results/qp_sqp_i2c,
+# scripts/new_solver_sweep.py) — compared against the BEST reference
+# family per cell in a separate section
+EXT_STORE = "qp_sqp_i2c"
+EXT_SOLVERS = ("QPMPC", "SQP", "I2C")
 
 
 def our_stats(stores, env_name, solver, T):
@@ -161,6 +166,36 @@ def main():
                 f"| {agg['Median']:.3g} [{agg['Q 25']:.3g}, {agg['Q 75']:.3g}] "
                 f"| {inside} |"
             )
+    ext_store = ResultStore(args.results_dir, EXT_STORE)
+    ext_rows = []
+    for (env_name, T), ref_row in sorted(REF_MEDIANS.items()):
+        best_ref_solver, best_ref = min(ref_row.items(), key=lambda kv: kv[1])
+        cells = []
+        for solver in EXT_SOLVERS:
+            agg, _ = our_stats([ext_store], env_name, solver, T)
+            cells.append("—" if agg is None else f"{agg['Median']:.3g}")
+        ext_rows.append(
+            f"| {env_name} | {T} | {best_ref} ({best_ref_solver}) | "
+            + " | ".join(cells) + " |"
+        )
+    lines += [
+        "",
+        "## Extension families (no reference counterpart)",
+        "",
+        "QPMPC / SQP / I2C are the solver families BASELINE owes that the",
+        "reference never had (its i2c is a 0-byte stub; it has no QP or SQP",
+        "solver at all). Their medians over the same grid",
+        "(results/qp_sqp_i2c, 5 reps, warm start 50) against the BEST",
+        "reference-family median per cell. QPMPC plans on the linearization",
+        "around the goal, so on swing-up tasks its rows document the limit",
+        "of linear MPC rather than a tuned controller; SQP and I2C are full",
+        "nonlinear planners.",
+        "",
+        "| Env | T | best ref median (family) | QPMPC | SQP | I2C |",
+        "|---|---|---|---|---|---|",
+        *ext_rows,
+    ]
+
     out = pathlib.Path("QUALITY.md")
     out.write_text("\n".join(lines) + "\n")
     print("\n".join(lines))
