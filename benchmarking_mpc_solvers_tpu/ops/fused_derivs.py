@@ -44,7 +44,7 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(0, 4))
 def fused_derivs(model: Model, xs, us, g_z, interpret: bool | None = None):
     """Batched linearize + GN-quadratize in one kernel launch.
 

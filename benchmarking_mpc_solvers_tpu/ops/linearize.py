@@ -64,6 +64,46 @@ def linearize_dynamics(model: Model, xs, us) -> AffineDynamics:
     return AffineDynamics(A, B, c)
 
 
+def gn_point_terms(model: Model, x, u, gz):
+    """Closed-form Gauss-Newton expansion of the stage cost at one point:
+    ``grad = 2 Jᵀ W_sym (z−g)``, ``H = 2 Jᵀ W_sym J`` with the model's
+    compile-time ``quad_cost`` weight and J the transform Jacobian — the
+    single source of truth for the GN stage math, shared by
+    ``quadratize_cost``, ILQR's GN derivative stage, and (in spirit) the
+    in-kernel terms of ``ops/fused_derivs.py``. Keeps a live gradient in
+    the ±1e30 cost-saturation regime where autodiff of the clipped cost
+    sees a zero derivative. Requires ``model.state_cost.W``."""
+    S = model.state_size
+    Wsym = jnp.asarray(model.state_cost.W, jnp.float32)
+    Wsym = 0.5 * (Wsym + Wsym.T)
+    xu = jnp.concatenate([x, u])
+
+    def z_of(v):
+        return model.transform(v[:S], v[S:])
+
+    z, J = z_of(xu), jax.jacfwd(z_of)(xu)
+    grad = 2.0 * (J.T @ (Wsym @ (z - gz)))
+    H = 2.0 * (J.T @ Wsym @ J)
+    return grad, H
+
+
+def gn_terminal_terms(model: Model, x, g_last):
+    """Closed-form GN terminal expansion at one point (zero action):
+    ``qf = 2 Jfᵀ W_sym (z−g)``, ``Qf = 2 Jfᵀ W_sym Jf`` from
+    ``model.terminal_cost.W`` — shared by ``quadratize_cost`` and the
+    batched SQP terminal tail (``solvers/sqp.py:_derivs_cv``)."""
+    WfT = jnp.asarray(model.terminal_cost.W, jnp.float32)
+    WfT = 0.5 * (WfT + WfT.T)
+
+    def zf(v):
+        return model.transform(v, jnp.zeros((model.action_size,), v.dtype))
+
+    zT, Jf = zf(x), jax.jacfwd(zf)(x)
+    qf = 2.0 * (Jf.T @ (WfT @ (zT - g_last)))
+    Qf = 2.0 * (Jf.T @ WfT @ Jf)
+    return qf, Qf
+
+
 def quadratize_cost(model: Model, xs, us, g_z, gauss_newton: bool = True) -> QuadCost:
     """Second-order cost expansion along the trajectory.
 
@@ -88,14 +128,8 @@ def quadratize_cost(model: Model, xs, us, g_z, gauss_newton: bool = True) -> Qua
         return model.transform(v[:S], v[S:])
 
     if gauss_newton and W_state is not None:
-        Wsym = jnp.asarray(W_state, jnp.float32)
-        Wsym = 0.5 * (Wsym + Wsym.T)
-
         def one(x, u, gz):
-            xu = jnp.concatenate([x, u])
-            z, J = z_of(xu), jax.jacfwd(z_of)(xu)
-            grad = 2.0 * (J.T @ (Wsym @ (z - gz)))
-            H = 2.0 * (J.T @ Wsym @ J)
+            grad, H = gn_point_terms(model, x, u, gz)
             return grad[:S], grad[S:], H[:S, :S], H[S:, S:], H[S:, :S]
     else:
         def one(x, u, gz):
@@ -123,12 +157,7 @@ def quadratize_cost(model: Model, xs, us, g_z, gauss_newton: bool = True) -> Qua
     W_term = getattr(model.terminal_cost, "W", None)
     zf = lambda x: model.transform(x, jnp.zeros((model.action_size,), x.dtype))  # noqa: E731
     if gauss_newton and W_term is not None:
-        # closed form, same as the stage costs above
-        WfT = jnp.asarray(W_term, jnp.float32)
-        WfT = 0.5 * (WfT + WfT.T)
-        zT, Jf = zf(xs[-1]), jax.jacfwd(zf)(xs[-1])
-        qf = 2.0 * (Jf.T @ (WfT @ (zT - g_z[-1])))
-        Qf = 2.0 * (Jf.T @ WfT @ Jf)
+        qf, Qf = gn_terminal_terms(model, xs[-1], g_z[-1])
     elif gauss_newton:
         # same J^T W J drop of feature curvature for the terminal stage —
         # exact-Hessian terminals of the nonlinear feature costs (e.g.

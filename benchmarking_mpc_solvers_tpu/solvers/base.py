@@ -40,6 +40,23 @@ class Solver:
         """One full solver invocation (the reference ``_calc_action``)."""
         raise NotImplementedError
 
+    # -- shared init helper ---------------------------------------------------
+    def _init_plan(self, key, init_std: float):
+        """(plan, remaining key): zeros when ``init_std == 0``
+        (deterministic), else ~ N(0, init_std) clipped to the box — the
+        symmetric-equilibrium break SQP/I2C opt into (cf. the reference
+        iLQR's unconditional N(0, bounds_high) init, agents/ilqr.py:90-91)."""
+        T, A = self.T, self.model.action_size
+        if init_std > 0.0:
+            k_init, key = jax.random.split(key)
+            us = jnp.clip(
+                init_std * jax.random.normal(k_init, (T, A), jnp.float32),
+                self.model.lo, self.model.hi,
+            )
+        else:
+            us = jnp.zeros((T, A), jnp.float32)
+        return us, key
+
     # -- batched fallbacks (overridden by solvers with fused fast paths) ------
     def init_state_batch(self, keys):
         """Batched state from per-scenario keys (B, 2); generic vmap."""

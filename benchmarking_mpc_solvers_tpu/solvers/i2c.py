@@ -71,15 +71,7 @@ class I2C(Solver):
     init_std: float = 0.0
 
     def init_state(self, key) -> I2CState:
-        T, A = self.T, self.model.action_size
-        if self.init_std > 0.0:
-            k_init, key = jax.random.split(key)
-            us = jnp.clip(
-                self.init_std * jax.random.normal(k_init, (T, A), jnp.float32),
-                self.model.lo, self.model.hi,
-            )
-        else:
-            us = jnp.zeros((T, A), jnp.float32)
+        us, key = self._init_plan(key, self.init_std)
         return I2CState(us, key)
 
     # -- one smoothing iteration ------------------------------------------------

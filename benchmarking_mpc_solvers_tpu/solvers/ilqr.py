@@ -67,6 +67,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..ops.fused_derivs import fused_derivs
+from ..ops.linearize import gn_point_terms
 from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
 from ..ops.riccati_pallas import (
     pallas_riccati_applicable,
@@ -142,29 +143,22 @@ class ILQR(Solver):
         """Stage derivatives (GN path) with a ``custom_vmap`` rule: batched
         solves compute every (scenario, timestep) Jacobian + GN cost block
         in ONE Pallas launch (``ops/fused_derivs.py``, shared with SQP);
-        unbatched solves keep the vmapped autodiff. Same trace discipline
-        as ``linesearch_cv`` — everything travels as arguments."""
+        unbatched solves use the SAME closed-form GN terms the kernel
+        computes (``ops/linearize.gn_point_terms``) so both paths agree
+        everywhere — including the ±1e30 cost-saturation regime, where
+        per-point autodiff of the clipped cost would go to zero while the
+        closed form stays live. Same trace discipline as ``linesearch_cv``
+        — everything travels as arguments."""
         model = self.model
         S = model.state_size
 
         def scan_stage(xs, us, g_z):
             def stage(x, u, gz):
-                xu = jnp.concatenate([x, u])
-
-                def z(v):
-                    return model.transform(v[:S], v[S:])
-
-                def c(v):
-                    return model.cost(v[:S], v[S:], gz)
-
                 def f(v):
                     return model.dynamics(v[:S], v[S:])
 
-                grad = jax.grad(c)(xu)
-                J = jax.jacfwd(z)(xu)
-                W = jax.hessian(lambda zz: model.state_cost(zz, gz))(z(xu)) / 2.0
-                hess = 2.0 * J.T @ W @ J
-                jac_f = jax.jacfwd(f)(xu)
+                grad, hess = gn_point_terms(model, x, u, gz)
+                jac_f = jax.jacfwd(f)(jnp.concatenate([x, u]))
                 return (grad[:S], grad[S:], hess[:S, :S], hess[S:, S:],
                         hess[S:, :S], jac_f[:, :S], jac_f[:, S:])
 
@@ -208,8 +202,13 @@ class ILQR(Solver):
                 return model.dynamics(xu[:S], xu[S:])
 
             xu = jnp.concatenate([x, u])
-            grad = jax.grad(c)(xu)
-            if self.gauss_newton:
+            if self.gauss_newton and hasattr(model.state_cost, "W"):
+                # shared closed form (ops/linearize.gn_point_terms) — the
+                # same math as the fused kernel and quadratize_cost
+                grad, hess = gn_point_terms(model, x, u, gz)
+            elif self.gauss_newton:
+                grad = jax.grad(c)(xu)
+
                 def z(xu):
                     return model.transform(xu[:S], xu[S:])
 
@@ -217,6 +216,7 @@ class ILQR(Solver):
                 W = jax.hessian(lambda zz: model.state_cost(zz, gz))(z(xu)) / 2.0
                 hess = 2.0 * J.T @ W @ J
             else:
+                grad = jax.grad(c)(xu)
                 hess = jax.hessian(c)(xu)
             jac_f = jax.jacfwd(f)(xu)
             return (

@@ -28,7 +28,13 @@ from jax import lax
 
 from ..ops.fused_derivs import fused_derivs
 from ..ops.fused_linesearch import fused_linesearch, linesearch_applicable
-from ..ops.linearize import AffineDynamics, QuadCost, linearize_dynamics, quadratize_cost
+from ..ops.linearize import (
+    AffineDynamics,
+    QuadCost,
+    gn_terminal_terms,
+    linearize_dynamics,
+    quadratize_cost,
+)
 from ..ops.riccati import tvlqr_backward, tvlqr_backward_assoc_general
 from ..ops.riccati_pallas import (
     pallas_riccati_applicable,
@@ -72,15 +78,7 @@ class SQP(Solver):
     init_std: float = 0.0
 
     def init_state(self, key) -> SQPState:
-        T, A = self.T, self.model.action_size
-        if self.init_std > 0.0:
-            k_init, key = jax.random.split(key)
-            us = jnp.clip(
-                self.init_std * jax.random.normal(k_init, (T, A), jnp.float32),
-                self.model.lo, self.model.hi,
-            )
-        else:
-            us = jnp.zeros((T, A), jnp.float32)
+        us, key = self._init_plan(key, self.init_std)
         return SQPState(us, key)
 
     @property
@@ -93,8 +91,9 @@ class SQP(Solver):
         launch (``ops/fused_derivs.py``) instead of dozens of small
         XLA-fused autodiff kernels (the dominant stage of the batched SQP
         iteration — PROFILE_SQP_r04.json); unbatched solves keep the
-        vmapped autodiff. The terminal expansion (one point per scenario)
-        stays on the autodiff path either way."""
+        vmapped closed-form quadratize. The terminal expansion (one point
+        per scenario) uses the shared closed form
+        (``ops/linearize.gn_terminal_terms``) on both paths."""
         model = self.model
         S = model.state_size
 
@@ -120,14 +119,11 @@ class SQP(Solver):
                 return out, tuple(True for _ in out)
             xs_b, us_b = bc(xs_b, in_batched[0]), bc(us_b, in_batched[1])
             A, Bd, c, Q, R, M, q, r = fused_derivs(model, xs_b, us_b, g_z_)
-            # terminal expansion: one point per scenario, autodiff path
-            tail = jax.vmap(
-                lambda x: quadratize_cost(
-                    model, x[None].repeat(2, 0), jnp.zeros((1, model.action_size), x.dtype),
-                    g_z_[-1:], gauss_newton=True,
-                )
-            )(xs_b[:, -1])
-            return (A, Bd, c, Q, R, M, q, r, tail.Qf, tail.qf), tuple(
+            # terminal expansion: one point per scenario, closed form
+            qf, Qf = jax.vmap(lambda x: gn_terminal_terms(model, x, g_z_[-1]))(
+                xs_b[:, -1]
+            )
+            return (A, Bd, c, Q, R, M, q, r, Qf, qf), tuple(
                 True for _ in range(10)
             )
 

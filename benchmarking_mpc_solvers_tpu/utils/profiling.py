@@ -92,10 +92,21 @@ def device_step_latency(
         float(fns[n](carry, keys)[1])  # scalar fetch = host sync
         return time.perf_counter() - t0
 
-    # size the long chain so device time dominates the RTT (~30 ms): the
-    # n_lo dispatch gives a conservative (RTT-inflated) per-step estimate
+    # size the long chain so device time dominates the RTT (~30 ms). Two
+    # passes: the n_lo dispatch gives an RTT-inflated first guess; one
+    # paired difference at that guess then gives an RTT-FREE per-step
+    # estimate to size the final chain (for sub-ms steps the first guess
+    # is dominated by RTT/n_lo and would under-size the chain ~100x,
+    # leaving the percentiles dispatch-jitter-shaped).
+    def size_hi(est):
+        return n_lo + int(max(8, min(max_hi, round(target_s / max(est, 1e-5)))))
+
     est = run(n_lo) / n_lo
-    n_hi = n_lo + int(max(8, min(max_hi, round(target_s / max(est, 1e-5)))))
+    n_hi = size_hi(est)
+    est2 = max((run(n_hi) - run(n_lo)) / (n_hi - n_lo), 1e-7)
+    n_hi2 = size_hi(est2)
+    if n_hi2 > 2 * n_hi:
+        n_hi = n_hi2
 
     per_step = []
     for _ in range(samples):

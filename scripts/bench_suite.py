@@ -224,10 +224,10 @@ def main():
 
     # 4. acrobot NMPC via SQP, T=100, batched over 1k initial states.
     # max_iter=4: receding-horizon warm starts converge the Gauss-Newton
-    # iteration in <=3 steps here — median episode cost is IDENTICAL (312.1)
-    # at max_iter 3/4/6, so the extra iterations were masked no-ops burning
-    # kernel time (profile: scripts/PROFILE_SQP_r03.json, ~1.15 ms per
-    # subproblem+linesearch iteration at B=128)
+    # iteration in <=3 steps here — median episode cost is IDENTICAL at
+    # max_iter 4 vs 6 (enforced by
+    # tests/test_qp.py::test_sqp_iteration_count_cost_parity); per-iteration
+    # stage times in PROFILE_SQP_r04.json
     env = AcrobotEnv
     solver = SQP(model=env.model, T=10 if q else 100, max_iter=2 if q else 4)
     cfg = EpisodeConfig(n_steps=3 if q else 20, record_plans=False)

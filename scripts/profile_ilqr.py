@@ -80,8 +80,11 @@ def main():
                 xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
 
         # stage 3: backward pass — vmapped scan vs the Pallas kernel
-        vbp = jax.vmap(lambda d: jnp.sum(solver.backward_pass(d, mu)[0])
-                       + jnp.sum(solver.backward_pass(d, mu)[1]))
+        def bp_scan(d):
+            ks, Ks, _ok = solver.backward_pass(d, mu)
+            return jnp.sum(ks) + jnp.sum(Ks)
+
+        vbp = jax.vmap(bp_scan)
         timed("backward_scan", lambda k: jnp.sum(
             vbp(derivs._replace(
                 l_x=derivs.l_x + 1e-6 * jax.random.normal(k, derivs.l_x.shape)))))

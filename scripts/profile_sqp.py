@@ -69,21 +69,24 @@ def main():
         timed("rollout", lambda k: jnp.sum(
             vroll(x0s + 1e-6 * jax.random.normal(k, x0s.shape), us0)[1]))
 
-        vlin = jax.vmap(lambda xs, us: linearize_dynamics(model, xs[:-1], us).A)
-        timed("linearize", lambda k: jnp.sum(
+        # sum EVERY output so XLA cannot dead-code-eliminate part of the
+        # stage (summing one field under-measures — cf. profile_ilqr.py)
+        vlin = jax.vmap(lambda xs, us: linearize_dynamics(model, xs[:-1], us))
+        timed("linearize", lambda k: sum(jnp.sum(v) for v in
             vlin(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
 
         vquad = jax.vmap(
             lambda xs, us: quadratize_cost(model, xs, us, g_z,
-                                           gauss_newton=True).Q)
-        timed("quadratize", lambda k: jnp.sum(
+                                           gauss_newton=True))
+        timed("quadratize", lambda k: sum(jnp.sum(v) for v in
             vquad(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
 
-        vsub = jax.vmap(
-            lambda xs, us: solver._subproblem(xs, us, g_z, jnp.float32(1e-2)).k
-        )
-        timed("subproblem(lin+quad+riccati)", lambda k: jnp.sum(
-            vsub(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
+        def sub_all(xs, us):
+            pol = solver._subproblem(xs, us, g_z, jnp.float32(1e-2))
+            return jnp.sum(pol.k) + jnp.sum(pol.K)
+
+        timed("subproblem(lin+quad+riccati)", lambda k: jnp.sum(jax.vmap(sub_all)(
+            xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
 
         def ls(xs, us):
             pol = solver._subproblem(xs, us, g_z, jnp.float32(1e-2))
