@@ -103,6 +103,37 @@ def generate_plots(args):
             fig.savefig(out / f"{env_name}_K_cost.png", dpi=80)
             print(f"wrote {out}/{env_name}_K_cost.png")
 
+    # CEM elite-ratio plots (reference: ResultPlots/cem_ratio/,
+    # scripts/sample_test.py generate_plots' CEM half)
+    cem_store = ResultStore(args.results_dir, "cem_ratios")
+    out = pathlib.Path(args.plots_dir) / "cem_ratio"
+    out.mkdir(parents=True, exist_ok=True)
+    for env_key, env_name in ENV_NAMES.items():
+        grouped = {}
+        metas = cem_store.find({"env_name": env_name}, arrays=False)
+        Ts = sorted({m["agent_config"]["T"] for m in metas})
+        for T in Ts:
+            results = cem_store.find({"env_name": env_name, "agent_config.T": T})
+            if not results:
+                continue
+            ratios = sorted({r["agent_config"]["elite_ratio"] for r in results})
+            med, q25, q75 = [], [], []
+            for ratio in ratios:
+                totals = []
+                for r in results:
+                    if r["agent_config"]["elite_ratio"] != ratio:
+                        continue
+                    batch = np.asarray(r.get("batch_costs", r["env_costs"][None]))
+                    totals += list(np.clip(batch, -20, 20).sum(axis=1))
+                med.append(np.median(totals))
+                q25.append(np.quantile(totals, 0.25))
+                q75.append(np.quantile(totals, 0.75))
+            grouped[f"T={T}"] = {"x": ratios, "median": med, "q25": q25, "q75": q75}
+        if grouped:
+            fig = plot_cost_bands(grouped, xlabel="elite ratio")
+            fig.savefig(out / f"{env_name}_ratio_cost.png", dpi=80)
+            print(f"wrote {out}/{env_name}_ratio_cost.png")
+
 
 def main():
     args = std_parser(__doc__).parse_args()
