@@ -2,8 +2,12 @@
 ``scripts/sample_test.py:10-51`` (collections cem_ratios / mppi_samples),
 with the serial 5-repetition loops replaced by on-device batches.
 
-Full sweep: CEM ratio ∈ {.1,.25,.5,.75,1} at K=50; MPPI K ∈ {10,20,50,100,200}
-× T ∈ {5,10,25,50}; pendulum + cartpole; 100 steps; warm start 50.
+Full sweep: CEM ratio ∈ {.1,.25,.5,.75,1} × K ∈ {10,20,50,100,200} (the
+reference's K loop wraps the ratio loop, ``scripts/sample_test.py:28-33``);
+MPPI K ∈ {10,20,50,100,200,500} × T ∈ {5,10,25,50} (the published reference
+K-tables end with an MPPI K=500 row,
+``ResultPlots/time_comparison/PendulumEnvironment_K_table.tex:18``);
+pendulum + cartpole (+ acrobot, see below); 100 steps; warm start 50.
 """
 
 import numpy as np
@@ -22,7 +26,11 @@ def generate_data(args):
         "pendulum", "cartpole_swingup", "acrobot"
     ]
     ratios = [0.25, 0.5] if args.quick else [0.1, 0.25, 0.5, 0.75, 1.0]
-    Ks = [8, 16] if args.quick else [10, 20, 50, 100, 200]
+    Ks = [8, 16] if args.quick else [10, 20, 50, 100, 200, 500]
+    # CEM sweeps the same K grid as MPPI minus K=500 (the reference's CEM
+    # half never runs K=500); K=50 is kept first so resumed sweeps hit the
+    # already-checkpointed configs before compiling new shapes.
+    Ks_cem = [8] if args.quick else [50, 10, 20, 100, 200]
     Ts = [5] if args.quick else [5, 10, 25, 50]
     length = 10 if args.quick else 100
     reps = 2 if args.quick else 5
@@ -30,29 +38,30 @@ def generate_data(args):
 
     for env in envs:
         start = START_STATES[env]
-        K_cem = 8 if args.quick else 50
         for T in Ts:
-            for ratio in ratios:
-                run_and_store(
-                    cem_store,
-                    {
-                        "env": env,
-                        "agent": "CEM",
-                        # max_iter=10 matches the reference's cem_ratios runs
-                        # (/root/reference/scripts/sample_test.py:33) — the
-                        # published CEM medians come from 10-iteration solves
-                        "agent_config": {"K": K_cem, "T": T,
-                                         "max_iter": 1 if args.quick else 10,
-                                         "n_elite": max(1, int(K_cem * ratio)),
-                                         "elite_ratio": ratio,
-                                         "epsilon": 1e-5, "alpha": 0.2, "std": 1.0},
-                        "experiment_length": length,
-                        "start_state": start,
-                        "repetitions": reps,
-                        "seed": args.seed,
-                    },
-                    warmstart=warm,
-                )
+            for K_cem in Ks_cem:
+                for ratio in ratios:
+                    run_and_store(
+                        cem_store,
+                        {
+                            "env": env,
+                            "agent": "CEM",
+                            # max_iter=10 matches the reference's cem_ratios
+                            # runs (/root/reference/scripts/sample_test.py:33)
+                            # — the published CEM medians come from
+                            # 10-iteration solves
+                            "agent_config": {"K": K_cem, "T": T,
+                                             "max_iter": 1 if args.quick else 10,
+                                             "n_elite": max(1, int(K_cem * ratio)),
+                                             "elite_ratio": ratio,
+                                             "epsilon": 1e-5, "alpha": 0.2, "std": 1.0},
+                            "experiment_length": length,
+                            "start_state": start,
+                            "repetitions": reps,
+                            "seed": args.seed,
+                        },
+                        warmstart=warm,
+                    )
             for K in Ks:
                 run_and_store(
                     mppi_store,
