@@ -44,10 +44,13 @@ _PARAM_MAP = {
              # numerics/backward-pass variants, sweepable like any other knob
              "diag_hessian": "diag_hessian", "ddp": "ddp", "box_ddp": "box_ddp",
              "gauss_newton": "gauss_newton"},
-    "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho"},
+    "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho",
+              "linearize_at": "linearize_at", "init_std": "init_std"},
     "SQP": {"T": "T", "max_iter": "max_iter", "init_std": "init_std"},
     "I2C": {"T": "T", "max_iter": "max_iter", "alpha0": "alpha0",
-            "sigma_u": "sigma_u", "init_std": "init_std"},
+            "anneal": "anneal", "alpha_max": "alpha_max",
+            "sigma_u": "sigma_u", "init_std": "init_std",
+            "line_search": "line_search", "prior_lag": "prior_lag"},
 }
 
 

@@ -69,6 +69,20 @@ class I2C(Solver):
     # (symmetric-equilibrium escape, cf. sqp.py init_std / the reference
     # iLQR's N(0, bounds_high) init). Default 0 = zeros (deterministic).
     init_std: float = 0.0
+    # backtracked acceptance of each smoothing step on the true rollout
+    # cost; candidate step sizes along (us_new - us), 0.0 = keep the old
+    # plan. See solve().
+    line_search: bool = True
+    ls_steps: tuple = (1.0, 0.5, 0.0)
+    # prior_lag=True sets the control-prior mean carried by m_t to ū_t
+    # instead of ū_{t+1} (see _smooth_once): the one-step lag phase-shifts
+    # the prior against oscillatory plans and acts as control-rate damping.
+    # On pendulum swing-up that damping kills energy pumping (the r4
+    # T>=25 quality collapse), but on cartpole swing-up — where the
+    # optimal plan rides the +-1 actuation box and the x^10 track-edge
+    # cost punishes overshoot — it measurably stabilizes long-horizon
+    # MPC (T=50 median 199 vs ~480 without it, scripts/new_solver_sweep.py).
+    prior_lag: bool = False
 
     def init_state(self, key) -> I2CState:
         us, key = self._init_plan(key, self.init_std)
@@ -106,7 +120,17 @@ class I2C(Solver):
 
         F = jnp.zeros((T, D, D), jnp.float32)
         F = F.at[:, :S, :S].set(dyn.A).at[:, :S, S:].set(dyn.B)
-        m = jnp.concatenate([dyn.c, us], axis=1)  # (T, D); ū as control prior mean
+        # predict step t produces ξ_{t+1}, so the control-prior mean carried
+        # by m_t is ū_{t+1} (last row repeats ū_{T-1}; that prediction is
+        # unobserved). prior_lag=True uses ū_t instead — a one-step lag
+        # that damps oscillatory plans (see the field comment; it froze
+        # pendulum swing-up at T>=25 in the r4 study, VERDICT r4 weak #1,
+        # but is the better regularizer on cartpole).
+        if self.prior_lag:
+            us_prior = us
+        else:
+            us_prior = jnp.concatenate([us[1:], us[-1:]], axis=0)
+        m = jnp.concatenate([dyn.c, us_prior], axis=1)  # (T, D)
 
         # prior at t=0: x0 known (tight), u_0 ~ N(ū_0, Σ_u)
         mu0 = jnp.concatenate([x0, us[0]])
@@ -205,6 +229,11 @@ class I2C(Solver):
 
     def solve(self, state: I2CState, x, g_z):
         model = self.model
+
+        def plan_cost(us):
+            _, cs = rollout(model, x, us, g_z)
+            return jnp.sum(cs)
+
         with jax.default_matmul_precision("highest"):
 
             def body(carry, _):
@@ -225,6 +254,21 @@ class I2C(Solver):
                     jnp.all(jnp.isfinite(us_new)), us_new, us
                 )
                 us_new = jnp.clip(us_new, model.lo, model.hi)
+                if self.line_search:
+                    # backtracked acceptance on the true rollout cost (the
+                    # smoother optimizes a moment-matched surrogate and can
+                    # walk uphill in true cost — on pendulum swing-up the
+                    # surrogate fixpoint at T>=25 is a swing-damping plan;
+                    # cf. SQP's merit-function line search, solvers/sqp.py).
+                    # On LQ problems the full step always wins and the
+                    # fixed point is unchanged (tests/test_i2c.py).
+                    cands = jnp.stack(
+                        [us + g * (us_new - us) for g in self.ls_steps],
+                        axis=0,
+                    )
+                    costs = jax.vmap(plan_cost)(cands)
+                    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+                    us_new = cands[jnp.argmin(costs)]
                 alpha = jnp.minimum(alpha * self.anneal, self.alpha_max)
                 return (us_new, alpha, key), None
 

@@ -50,7 +50,11 @@ class QPMPC(Solver):
     iters: int = 100
     rho: float = 1.0
     eps: float = 1e-6
-    linearize_at: str = "goal"  # "goal" | "state"
+    # "goal" (classic linear MPC), "state" (re-linearize at the current
+    # state, constant over the horizon), "plan" (LTV: re-linearize along
+    # the previous plan's rollout — real-time-iteration SQP; see
+    # _linearize)
+    linearize_at: str = "goal"
     # optional explicit tracking weights; default derives them from the model
     Q: Optional[tuple] = None
     R: Optional[tuple] = None
@@ -65,6 +69,11 @@ class QPMPC(Solver):
     # of sequential lax.scan — profitable at long horizons (crossover
     # benchmarked in scripts/bench_riccati.py; riccati_admm method only)
     parallel_horizon: bool = False
+    # init_std > 0: random initial plan ~ N(0, init_std) clipped to the box
+    # (cf. sqp.py/i2c.py init_std). Only meaningful for linearize_at="plan":
+    # a zero plan at a symmetric equilibrium is an LTV fixed point (zero
+    # rollout -> hanging linearization -> zero QP optimum). Default 0.
+    init_std: float = 0.0
 
     def _weights(self):
         """Gauss-Newton (Q, R, Qf) from the model's feature-space quadratic,
@@ -94,12 +103,26 @@ class QPMPC(Solver):
         return jnp.zeros((self.model.state_size,), jnp.float32)
 
     def init_state(self, key) -> QPMPCState:
-        return QPMPCState(
-            jnp.zeros((self.T, self.model.action_size), jnp.float32), key
-        )
+        us, key = self._init_plan(key, self.init_std)
+        return QPMPCState(us, key)
 
-    def _linearize(self, x):
+    def _linearize(self, x, planned_us=None):
         model = self.model
+        if self.linearize_at == "plan":
+            # LTV mode: re-linearize along the rollout of the previous plan
+            # (real-time-iteration SQP style — one Gauss-Newton QP per MPC
+            # step, bootstrapped by the receding-horizon warm start). This
+            # turns QPMPC from a goal-linearized linear MPC (which cannot
+            # plan a swing-up: the goal linearization never sees the
+            # hanging-side dynamics) into a competitor on the swing-up
+            # tasks, while keeping the convex box-QP solve.
+            from ..ops.linearize import linearize_dynamics
+            from ..ops.rollout import rollout
+
+            g_dummy = jnp.zeros((self.T, model.goal_size), jnp.float32)
+            us = jnp.clip(planned_us, model.lo, model.hi)
+            xs, _ = rollout(model, x, us, g_dummy)
+            return linearize_dynamics(model, xs[:-1], us)
         x_op = self._goal_state() if self.linearize_at == "goal" else x
         u_op = jnp.zeros((model.action_size,), jnp.float32)
         A = jax.jacfwd(model.dynamics, argnums=0)(x_op, u_op)
@@ -116,7 +139,7 @@ class QPMPC(Solver):
         model = self.model
         key = state.key
         with jax.default_matmul_precision("highest"):
-            dyn = self._linearize(x)
+            dyn = self._linearize(x, state.planned_us)
             if self.model_noise_std > 0.0:
                 key, k_noise = jax.random.split(key)
                 dyn = dyn._replace(
@@ -144,11 +167,33 @@ class QPMPC(Solver):
                 else:
                     U = admm_solve(qp, rho=self.rho, iters=self.iters, eps=self.eps).U
                 planned = U.reshape(self.T, model.action_size)
+            if self.linearize_at == "plan":
+                # globalized RTI step: the QP optimizes the Gauss-Newton
+                # model around the previous plan, which can walk uphill in
+                # true cost far from the trajectory it linearized; accept
+                # full step / half step / keep by true rollout cost
+                # (cf. i2c.py line_search, sqp.py merit line search)
+                from ..ops.rollout import rollout
+
+                old = jnp.clip(state.planned_us, model.lo, model.hi)
+                cands = jnp.stack(
+                    [planned, 0.5 * (planned + old), old], axis=0
+                )
+
+                def plan_cost(us):
+                    _, cs = rollout(model, x, us, g_z)
+                    return jnp.sum(cs)
+
+                costs = jax.vmap(plan_cost)(cands)
+                costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+                planned = cands[jnp.argmin(costs)]
         return QPMPCState(planned, key), planned[0], {}
 
     # -- batched path (fused episode runner, experiment/episode.py) ----------
 
     def init_state_batch(self, keys) -> QPMPCState:
+        if self.init_std > 0.0:
+            return jax.vmap(self.init_state)(keys)
         B = keys.shape[0]
         return QPMPCState(
             jnp.zeros((B, self.T, self.model.action_size), jnp.float32), keys
@@ -187,7 +232,8 @@ class QPMPC(Solver):
                     eps=self.eps, parallel_horizon=self.parallel_horizon,
                 )
             return QPMPCState(us, state.key), us[:, 0], {}
-        if self.method != "admm" or self.model_noise_std > 0.0:
+        if (self.method != "admm" or self.model_noise_std > 0.0
+                or self.linearize_at == "plan"):
             return jax.vmap(lambda s, x: self.solve(s, x, g_z))(state, xs)
 
         from ..ops.qp_pallas import admm_iterate

@@ -55,6 +55,7 @@ def device_step_latency(
     samples: int = 12,
     target_s: float = 0.35,
     max_hi: int = 160,
+    return_stats: bool = False,
 ):
     """True device-side per-step latency percentiles (RTT-free), in ms.
 
@@ -70,6 +71,18 @@ def device_step_latency(
 
     ``keys``: (n_keys, ...) per-step key batches; steps fold through them
     cyclically so both chain lengths see identical per-step inputs.
+
+    Resolution: the estimator's noise floor is the dispatch wall-clock
+    jitter divided by the chain-length difference — per-step values below
+    it are indistinguishable from zero, and raw paired differences can
+    even go slightly negative (r3's PROFILE_SQP, r4's PROFILE_I2C bug
+    class). Percentiles are therefore clamped at 0, and with
+    ``return_stats=True`` the function returns ``(p50_ms, p90_ms,
+    resolution_ms)`` where ``resolution_ms`` is the sample standard
+    deviation of the per-step estimates — any reported latency at or
+    below it should be read as "< resolution", not as a measurement.
+    Stages expected under ~0.1 ms need ``max_hi`` raised (chains of
+    thousands) so the chain's device time dominates the jitter.
     """
 
     def chained(carry, ks, n):
@@ -117,10 +130,12 @@ def device_step_latency(
 
     # the paired-difference estimator is unbiased but can go slightly
     # negative on sub-microsecond device times; a latency cannot
-    return (
-        max(0.0, float(np.percentile(per_step, 50) * 1e3)),
-        max(0.0, float(np.percentile(per_step, 90) * 1e3)),
-    )
+    p50 = max(0.0, float(np.percentile(per_step, 50) * 1e3))
+    p90 = max(0.0, float(np.percentile(per_step, 90) * 1e3))
+    if return_stats:
+        resolution = float(np.std(per_step, ddof=1) * 1e3)
+        return p50, p90, resolution
+    return p50, p90
 
 
 def slope_timer(

@@ -4,8 +4,13 @@ Times each stage of one I2C smoothing iteration at the bench config-6
 shape (pendulum, T=25, B=256) plus the whole solve with the Pallas
 KF+RTS smoother ON vs OFF — the committed before/after the round-3
 verdict asked for. All numbers are chained-dispatch paired differences
-(utils/profiling.device_step_latency), RTT-free. Writes
-PROFILE_I2C_r04.json.
+(utils/profiling.device_step_latency), RTT-free. Sub-0.1 ms stages use
+long chains (max_hi in the thousands) so they resolve above the
+estimator's noise floor, and each stage reports that floor
+(resolution_ms = stddev of the per-step samples); values at or below it
+are flagged below_resolution rather than committed as measurements
+(VERDICT r4 weak #2: r4 published a physically impossible negative
+linearize time from an under-sized chain). Writes PROFILE_I2C_r05.json.
 """
 
 import json
@@ -38,30 +43,41 @@ def main():
 
     stages = {}
 
-    def timed(name, fn):
+    def timed(name, fn, max_hi=160):
         def step(c, k):
             v = fn(k)
             return c + v, v
 
         keys = jax.random.split(jax.random.PRNGKey(3), 8)
-        p50, p90 = device_step_latency(
-            step, jnp.float32(0.0), keys, samples=4 if q else 10
+        p50, p90, res = device_step_latency(
+            step, jnp.float32(0.0), keys, samples=4 if q else 10,
+            max_hi=max_hi, return_stats=True,
         )
-        stages[name] = {"p50_ms": round(p50, 4), "p90_ms": round(p90, 4)}
-        print(f"{name}: p50 {p50:.4f} ms  p90 {p90:.4f} ms", flush=True)
+        stages[name] = {"p50_ms": round(p50, 4), "p90_ms": round(p90, 4),
+                        "resolution_ms": round(res, 4)}
+        if p50 <= res:
+            stages[name]["below_resolution"] = True
+        print(f"{name}: p50 {p50:.4f} ms  p90 {p90:.4f} ms  "
+              f"(resolution {res:.4f} ms)", flush=True)
 
     solver_on = I2C(model=model, T=T, max_iter=10, pallas_smoother=True)
     solver_off = I2C(model=model, T=T, max_iter=10, pallas_smoother=False)
 
     with jax.default_matmul_precision("highest"):
+        # rollout/linearize are ~10 us device-time stages: chain thousands
+        # of them so the paired difference resolves above the ~ms dispatch
+        # jitter (160-step chains produced r4's negative linearize p50)
+        deep = 160 if q else 8000
         vroll = jax.vmap(lambda x0, us: rollout(model, x0, us, g_z)[0])
         timed("rollout", lambda k: jnp.sum(
-            vroll(x0s + 1e-6 * jax.random.normal(k, x0s.shape), us0)))
+            vroll(x0s + 1e-6 * jax.random.normal(k, x0s.shape), us0)),
+            max_hi=deep)
 
         xss = jax.jit(vroll)(x0s, us0)
         vlin = jax.vmap(lambda xs, us: linearize_dynamics(model, xs[:-1], us).A)
         timed("linearize", lambda k: jnp.sum(
-            vlin(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)))
+            vlin(xss + 1e-6 * jax.random.normal(k, xss.shape), us0)),
+            max_hi=deep)
 
         for name, sv in [("smooth_iter_pallas", solver_on),
                          ("smooth_iter_scan", solver_off)]:
@@ -71,7 +87,8 @@ def main():
                 )
             )
             timed(name, lambda k, vsm=vsm: jnp.sum(
-                vsm(x0s + 1e-6 * jax.random.normal(k, x0s.shape), us0)))
+                vsm(x0s + 1e-6 * jax.random.normal(k, x0s.shape), us0)),
+                max_hi=160 if q else 2000)
 
         for name, sv in [("solve_x10iter_pallas", solver_on),
                          ("solve_x10iter_scan", solver_off)]:
@@ -85,7 +102,7 @@ def main():
             timed(name, whole)
 
     out = {"config": f"pendulum I2C T={T} B={B}", "stage_ms": stages}
-    with open("PROFILE_I2C_r04.json", "w") as f:
+    with open("PROFILE_I2C_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 

@@ -83,13 +83,45 @@ REF_K_MEDIANS = {
     ("AcrobotEnvironment", 500): {"MPPI": 1.1e3},
 }
 
+# Reference Q25/Q75 per (env, K, solver), for the K-cell miss analysis —
+# same .tex files as REF_K_MEDIANS (column scales: pendulum/cartpole
+# Q-columns are 1e2-scaled; acrobot Q25 is 1e2- and Q75 1e3-scaled)
+REF_K_IQR = {
+    ("PendulumEnvironment", 10): {"CEM": (4.2e2, 6.9e2), "MPPI": (4.9e2, 8.7e2)},
+    ("PendulumEnvironment", 20): {"CEM": (4.1e2, 6.7e2), "MPPI": (5.1e2, 8.3e2)},
+    ("PendulumEnvironment", 50): {"CEM": (4.1e2, 6.5e2), "MPPI": (3.7e2, 7.2e2)},
+    ("PendulumEnvironment", 200): {"CEM": (3.7e2, 6.5e2), "MPPI": (3.7e2, 7.3e2)},
+    ("PendulumEnvironment", 500): {"MPPI": (3.6e2, 9.0e2)},
+    ("CartpoleSwingupEnvironment", 10): {"CEM": (3.4e2, 9.2e2), "MPPI": (4.2e2, 9.5e2)},
+    ("CartpoleSwingupEnvironment", 20): {"CEM": (3.2e2, 9.3e2), "MPPI": (3.4e2, 6.7e2)},
+    ("CartpoleSwingupEnvironment", 50): {"CEM": (2.7e2, 9.8e2), "MPPI": (2.6e2, 6.1e2)},
+    ("CartpoleSwingupEnvironment", 200): {"CEM": (2.7e2, 9.6e2), "MPPI": (2.3e2, 6.5e2)},
+    ("CartpoleSwingupEnvironment", 500): {"MPPI": (2.3e2, 6.2e2)},
+    ("AcrobotEnvironment", 10): {"CEM": (1.0e3, 1.3e3), "MPPI": (1.1e3, 1.5e3)},
+    ("AcrobotEnvironment", 20): {"CEM": (9.9e2, 1.3e3), "MPPI": (1.1e3, 1.4e3)},
+    ("AcrobotEnvironment", 50): {"CEM": (9.4e2, 1.3e3), "MPPI": (1.0e3, 1.4e3)},
+    ("AcrobotEnvironment", 200): {"CEM": (9.4e2, 1.3e3), "MPPI": (9.6e2, 1.3e3)},
+    ("AcrobotEnvironment", 500): {"MPPI": (1.0e3, 1.4e3)},
+}
+
 STORES = ["cem_ratios", "mppi_samples", "temperature_exp", "ilqr_runs2",
           "noise_test"]
 # the three solver families the reference never had (results/qp_sqp_i2c,
 # scripts/new_solver_sweep.py) — compared against the BEST reference
 # family per cell in a separate section
 EXT_STORE = "qp_sqp_i2c"
-EXT_SOLVERS = ("QPMPC", "SQP", "I2C")
+# (column label, agent_name, row filter) — QPMPC appears twice: the
+# goal-linearized classic linear MPC, and the LTV variant that
+# re-linearizes along the previous plan (linearize_at="plan",
+# solvers/qp_mpc.py)
+EXT_SOLVERS = (
+    ("QPMPC", "QPMPC",
+     lambda r: r["agent_config"].get("linearize_at", "goal") == "goal"),
+    ("QPMPC-LTV", "QPMPC",
+     lambda r: r["agent_config"].get("linearize_at") == "plan"),
+    ("SQP", "SQP", lambda r: True),
+    ("I2C", "I2C", lambda r: True),
+)
 
 
 def our_stats(stores, env_name, solver, T, cfg_key="agent_config.T"):
@@ -208,6 +240,7 @@ def main():
         "|---|---|---|---|---|---|---|---|",
     ]
     k_beat = k_match = k_miss = 0
+    k_misses = []
     for (env_name, K), ref_row in sorted(REF_K_MEDIANS.items()):
         for solver, ref_med in sorted(ref_row.items()):
             agg, n = our_stats(stores, env_name, solver, K,
@@ -225,6 +258,7 @@ def main():
                 verdict = "match"; k_match += 1
             else:
                 verdict = "MISS"; k_miss += 1
+                k_misses.append((env_name, K, solver, ref_med, agg, n))
             k_lines.append(
                 f"| {env_name} | {K} | {solver} | {ref_med:.3g} | {ours:.3g} "
                 f"| {ratio:.2f} | {n} | {verdict} |"
@@ -234,6 +268,32 @@ def main():
         f"**K-cells: {k_beat} beaten, {k_match} matched, {k_miss} missed** "
         f"out of {k_beat + k_match + k_miss} published reference K-table cells.",
     ]
+    if k_misses:
+        k_lines += [
+            "",
+            "### K-cell miss analysis",
+            "",
+            "Same yardstick as the T-cell miss analysis: the reference's own",
+            "[Q25, Q75] for the cell (Q-columns of the same K-tables).",
+            "",
+            "| Env | K | Solver | ref median [Q25, Q75] | ours median [Q25, Q75] | inside ref IQR? |",
+            "|---|---|---|---|---|---|",
+        ]
+        for env_name, K, solver, ref_med, agg, n in k_misses:
+            q25, q75 = REF_K_IQR.get((env_name, K), {}).get(solver, (None, None))
+            inside = (
+                "yes" if (q25 is not None and q25 <= agg["Median"] <= q75)
+                else "NO"
+            )
+            ref_iqr = (
+                f"{ref_med:.3g} [{q25:.3g}, {q75:.3g}]"
+                if q25 is not None else f"{ref_med:.3g} [—]"
+            )
+            k_lines.append(
+                f"| {env_name} | {K} | {solver} | {ref_iqr} "
+                f"| {agg['Median']:.3g} [{agg['Q 25']:.3g}, {agg['Q 75']:.3g}] "
+                f"| {inside} |"
+            )
     lines += k_lines
 
     ext_store = ResultStore(args.results_dir, EXT_STORE)
@@ -241,9 +301,18 @@ def main():
     for (env_name, T), ref_row in sorted(REF_MEDIANS.items()):
         best_ref_solver, best_ref = min(ref_row.items(), key=lambda kv: kv[1])
         cells = []
-        for solver in EXT_SOLVERS:
-            agg, _ = our_stats([ext_store], env_name, solver, T)
-            cells.append("—" if agg is None else f"{agg['Median']:.3g}")
+        for _label, agent, keep in EXT_SOLVERS:
+            results = [
+                r for r in ext_store.find({
+                    "env_name": env_name, "agent_name": agent,
+                    "agent_config.T": T,
+                    "actuation_noise": False, "sensor_noise": False,
+                }) if keep(r)
+            ]
+            if not results:
+                cells.append("—")
+            else:
+                cells.append(f"{aggregate(results)['Median']:.3g}")
         ext_rows.append(
             f"| {env_name} | {T} | {best_ref} ({best_ref_solver}) | "
             + " | ".join(cells) + " |"
@@ -258,11 +327,16 @@ def main():
         "(results/qp_sqp_i2c, 5 reps, warm start 50) against the BEST",
         "reference-family median per cell. QPMPC plans on the linearization",
         "around the goal, so on swing-up tasks its rows document the limit",
-        "of linear MPC rather than a tuned controller; SQP and I2C are full",
-        "nonlinear planners.",
+        "of linear MPC rather than a tuned controller; QPMPC-LTV",
+        "re-linearizes along the previous plan (a globalized",
+        "real-time-iteration SQP step per solve, linearize_at='plan') and",
+        "competes on swing-up; SQP and I2C are full nonlinear planners.",
+        "I2C runs the per-environment configurations documented in",
+        "scripts/new_solver_sweep.py (corrected control prior + rollout-cost",
+        "line search on pendulum/acrobot; lagged prior on cartpole).",
         "",
-        "| Env | T | best ref median (family) | QPMPC | SQP | I2C |",
-        "|---|---|---|---|---|---|",
+        "| Env | T | best ref median (family) | QPMPC | QPMPC-LTV | SQP | I2C |",
+        "|---|---|---|---|---|---|---|",
         *ext_rows,
     ]
 

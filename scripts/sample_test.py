@@ -63,19 +63,25 @@ def generate_data(args):
                         warmstart=warm,
                     )
             for K in Ks:
-                run_and_store(
-                    mppi_store,
-                    {
-                        "env": env,
-                        "agent": "MPPI",
-                        "agent_config": {"K": K, "T": T, "std": 1.0, "lam": 0.1},
-                        "experiment_length": length,
-                        "start_state": start,
-                        "repetitions": reps,
-                        "seed": args.seed,
-                    },
-                    warmstart=warm,
-                )
+                # lam=0.5 is the reference's sample_test temperature
+                # (/root/reference/scripts/sample_test.py:44); the 0.1 grid
+                # (kept) matches our runtime_comparison configuration. Both
+                # pool into the published K cells, like the reference's
+                # K-table pools its heterogeneous-lam collections.
+                for lam in ([0.1] if args.quick else [0.1, 0.5]):
+                    run_and_store(
+                        mppi_store,
+                        {
+                            "env": env,
+                            "agent": "MPPI",
+                            "agent_config": {"K": K, "T": T, "std": 1.0, "lam": lam},
+                            "experiment_length": length,
+                            "start_state": start,
+                            "repetitions": reps,
+                            "seed": args.seed,
+                        },
+                        warmstart=warm,
+                    )
 
 
 def generate_plots(args):

@@ -57,3 +57,66 @@ def test_i2c_improves_pendulum():
     _, c1 = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
     assert float(c1) < 0.9 * float(c0)
     assert np.abs(np.asarray(state.planned_us)).max() <= 2.0 + 1e-5
+
+
+def test_i2c_line_search_inactive_on_lq():
+    """On an LQ problem every smoothing step improves the true rollout
+    cost, so the backtracked acceptance (solve()'s line_search) must take
+    the full step everywhere and reproduce the ungated solver exactly."""
+    A = np.array([[1.0, 0.1], [0.0, 1.0]], np.float32)
+    B = np.array([[0.0], [0.1]], np.float32)
+    Q = np.diag([1.0, 0.1]).astype(np.float32)
+    R = np.array([[0.1]], np.float32)
+    model = make_linear_model(A, B, Q, R, Q, bounds=1e6)
+    T = 12
+    x0 = jnp.array([1.0, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    plans = {}
+    for ls in (True, False):
+        solver = I2C(model=model, T=T, max_iter=10, line_search=ls)
+        state, _, _ = jax.jit(solver.solve)(
+            solver.init_state(jax.random.PRNGKey(0)), x0, g_z
+        )
+        plans[ls] = np.asarray(state.planned_us)
+    np.testing.assert_allclose(plans[True], plans[False], atol=1e-6)
+
+
+def test_i2c_prior_lag_still_solves_lq():
+    """prior_lag=True (the one-step-lagged control prior kept as a damping
+    option, see solvers/i2c.py) must still reach the LQR optimum on an LQ
+    problem: annealing makes the optimality observation dominate the
+    (mis-centered) prior."""
+    A = np.array([[1.0, 0.1], [0.0, 1.0]], np.float32)
+    B = np.array([[0.0], [0.1]], np.float32)
+    Q = np.diag([1.0, 0.1]).astype(np.float32)
+    R = np.array([[0.1]], np.float32)
+    model = make_linear_model(A, B, Q, R, Q, bounds=1e6)
+    T = 15
+    x0 = jnp.array([1.0, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    lagged = I2C(model=model, T=T, max_iter=25, sigma_u=1.0, prior_lag=True)
+    exact = I2C(model=model, T=T, max_iter=25, sigma_u=1.0)
+    c = {}
+    for name, solver in (("lag", lagged), ("exact", exact)):
+        state, _, _ = jax.jit(solver.solve)(
+            solver.init_state(jax.random.PRNGKey(0)), x0, g_z
+        )
+        _, c[name] = simulate_trajectory(model, x0, state.planned_us, g_z)
+    assert float(c["lag"]) <= 1.05 * float(c["exact"]), (c["lag"], c["exact"])
+
+
+def test_i2c_pendulum_long_horizon_swingup():
+    """Open-loop quality guard for the r4 T>=25 regression class: one
+    10-iteration solve from hanging must find a plan well below the
+    do-nothing cost, and the line-searched plan must be at least as good
+    as the best intermediate (monotone acceptance)."""
+    T = 25
+    solver = I2C(model=PendulumModel, T=T, max_iter=10, init_std=1.0)
+    x0 = jnp.array([np.pi, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    state = solver.init_state(jax.random.PRNGKey(0))
+    zeros = jnp.zeros_like(state.planned_us)
+    _, c_nothing = simulate_trajectory(PendulumModel, x0, zeros, g_z)
+    state, _, _ = jax.jit(solver.solve)(state, x0, g_z)
+    _, c1 = simulate_trajectory(PendulumModel, x0, state.planned_us, g_z)
+    assert float(c1) < 0.8 * float(c_nothing), (float(c1), float(c_nothing))
