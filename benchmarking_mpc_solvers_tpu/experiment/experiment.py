@@ -43,7 +43,8 @@ _PARAM_MAP = {
              # extensions beyond the reference's param set (ilqr.py:52-55):
              # numerics/backward-pass variants, sweepable like any other knob
              "diag_hessian": "diag_hessian", "ddp": "ddp", "box_ddp": "box_ddp",
-             "gauss_newton": "gauss_newton"},
+             "gauss_newton": "gauss_newton",
+             "reference_accept": "reference_accept"},
     "QPMPC": {"T": "T", "max_iter": "iters", "method": "method", "rho": "rho",
               "linearize_at": "linearize_at", "init_std": "init_std"},
     "SQP": {"T": "T", "max_iter": "max_iter", "init_std": "init_std"},

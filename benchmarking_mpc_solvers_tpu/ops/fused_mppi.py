@@ -46,6 +46,16 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def pick_lanes(B: int) -> int:
+    """Lane count whose (8·lanes) tile divides B — padding tiles are real
+    kernel compute (B=10240 at 512 lanes pads to 3x4096 = 20% waste); fall
+    back to the wide/narrow default when nothing divides."""
+    for lanes in (512, 256, 128):
+        if B % (SUBLANES * lanes) == 0:
+            return lanes
+    return 512 if B >= 4096 else 128
+
+
 def _u01(shape):
     """Uniforms in (0,1) from the on-core PRNG: take 24 high bits (via a
     uint32 bitcast — the raw bits are int32 and an arithmetic shift would

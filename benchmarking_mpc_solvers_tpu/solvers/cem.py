@@ -159,3 +159,38 @@ class CEM(Solver):
         )
         new_state = CEMState(mean[:, :, None], keys)
         return new_state, mean[:, :1, None][:, 0], {}
+
+    # -- single-kernel tier (experiment/episode.py:_run_episodes_kernel) -----
+
+    def kernel_ok(self) -> bool:
+        """The single-kernel step handles scalar actions with a quad_cost
+        stage cost (the shapes ``ops/fused_cem.py`` supports), like MPPI's."""
+        return self.model.action_size == 1 and hasattr(self.model.state_cost, "W")
+
+    def solve_batch_tm(self, planned_tm, xs_tm, g_z, seed):
+        """One full CEM refinement (max_iter iterations) for B scenarios as
+        a single Pallas kernel launch — in-kernel RNG, rollouts, per-lane
+        elite selection and mean/std update with no (B·K)-sized HBM arrays
+        (``ops/fused_cem.py``). Time-major plan state; per-call std reset
+        (``agents/cem.py:56``) happens inside the kernel.
+
+        Args:
+          planned_tm: (T, B) current plan means (action_size == 1).
+          xs_tm: (S, B) current states.
+          g_z: (T, Z) goal features.
+          seed: int32 scalar; vary per MPC step for fresh noise (the
+            stream is the kernel's own, like ``solve_batch``'s differs
+            from ``solve``'s).
+
+        Returns (new_planned_tm, u0s): (T, B) updated means, (B,) first
+        actions (unclipped — callers clip like ``agent.py:64-65,76``).
+        """
+        from ..ops.fused_cem import fused_cem_step
+        from ..ops.fused_mppi import pick_lanes
+
+        lanes = pick_lanes(planned_tm.shape[1])
+        planned = fused_cem_step(
+            self.model, self.K, self.n_elite, self.max_iter, self.alpha,
+            self.std, lanes, planned_tm, xs_tm, g_z, seed
+        )
+        return planned, planned[0]

@@ -196,9 +196,9 @@ class MPPI(Solver):
         Returns (new_planned_tm, u0s): (T, B) updated plans, (B,) first
         actions (unclipped — callers clip like ``agent.py:64-65,76``).
         """
-        from ..ops.fused_mppi import fused_mppi_step
+        from ..ops.fused_mppi import fused_mppi_step, pick_lanes
 
-        lanes = 512 if planned_tm.shape[1] >= 4096 else 128
+        lanes = pick_lanes(planned_tm.shape[1])
         planned = fused_mppi_step(
             self.model, self.K, self.std, self.lam, lanes, planned_tm, xs_tm, g_z, seed
         )

@@ -252,7 +252,7 @@ def main():
     spec = NamedSharding(mesh, P("batch"))
     x0s_base = jnp.tile(env.start_state, (B5, 1))
     T5 = 5 if q else 50
-    rows, sps, lat5 = [], {}, []
+    rows, sps, lat5, paths = [], {}, [], {}
     for name, solver in [
         ("MPPI", MPPI(model=env.model, T=T5, K=8 if q else 64)),
         ("CEM", CEM(model=env.model, T=T5, K=8 if q else 64,
@@ -270,12 +270,34 @@ def main():
         res = jax.block_until_ready(fn(keys, x0s))
         rows.append((name, float(np.median(np.asarray(res.costs.sum(axis=-1))))))
 
-        def scalar(k, solver=solver, cfg=cfg):
+        # each family runs on its best production path: the single-kernel
+        # tier where the solver has one (MPPI + CEM, solve_batch_tm), the
+        # batched solve_batch tier otherwise (QPMPC), and the vmapped
+        # scalar episode for the rest — same closed-loop semantics
+        # (experiment/episode.py documents the kernel tiers' own noise
+        # streams); the path used is recorded next to each number
+        from benchmarking_mpc_solvers_tpu.experiment.episode import (
+            run_episodes_fused,
+        )
+
+        has_kernel = bool(getattr(solver, "kernel_ok", None)) and solver.kernel_ok()
+        has_batch = getattr(solver, "solve_batch", None) is not None
+        paths[name] = ("single_kernel" if has_kernel
+                       else "solve_batch" if has_batch else "vmapped_scalar")
+
+        def scalar(k, solver=solver, cfg=cfg, has_batch=has_batch,
+                   has_kernel=has_kernel):
             ks = jax.lax.with_sharding_constraint(jax.random.split(k, B5), spec)
             x0 = jax.lax.with_sharding_constraint(
                 x0s_base + 1e-3 * jax.random.normal(k, x0s_base.shape), spec
             )
-            ep = jax.vmap(lambda kk, xx: run_episode(env, solver, cfg, kk, xx))(ks, x0)
+            if has_batch or has_kernel:
+                ep = run_episodes_fused(env, solver, cfg, ks, x0,
+                                        use_kernel=has_kernel)
+            else:
+                ep = jax.vmap(
+                    lambda kk, xx: run_episode(env, solver, cfg, kk, xx)
+                )(ks, x0)
             return ep.costs.sum()
 
         per = timed_per_call(scalar, inner_reps=2 if q else 5, outer_reps=1)
@@ -295,6 +317,7 @@ def main():
         {
             "median_costs": {n: round(c, 1) for n, c in rows},
             "solves_per_sec_by_solver": sps,
+            "episode_path_by_solver": paths,
         },
     )
 

@@ -222,6 +222,42 @@ def main():
                 f"| {agg['Median']:.3g} [{agg['Q 25']:.3g}, {agg['Q 75']:.3g}] "
                 f"| {inside} |"
             )
+        # both-path evidence for ILQR misses: the study sweep replicates
+        # the reference's numerics (diag_hessian compat,
+        # scripts/ilqr_tuning.py); scripts/ilqr_modern_cells.py runs the
+        # same cells on the modern path (exact Hessians +
+        # terminal-in-objective line search) into results/ilqr_modern
+        modern = ResultStore(args.results_dir, "ilqr_modern")
+        modern_rows = []
+        for env_name, T, solver, ref_med, agg, n in misses:
+            if solver != "ILQR":
+                continue
+            m_agg, m_n = our_stats([modern], env_name, solver, T)
+            if m_agg is None:
+                continue
+            verdict = ("beats the reference cell"
+                       if m_agg["Median"] < ref_med else
+                       "does not beat the reference cell either")
+            modern_rows.append(
+                f"| {env_name} | {T} | {ref_med:.3g} | {agg['Median']:.3g} "
+                f"| {m_agg['Median']:.3g} ({m_n} runs) | {verdict} |"
+            )
+        if modern_rows:
+            lines += [
+                "",
+                "### Both-path ILQR evidence",
+                "",
+                "The compat medians above replicate the reference's own",
+                "numerics; the package's modern iLQR path (exact",
+                "feature-cost Hessians, terminal-in-objective line search,",
+                "`reference_accept=False` — golden-tested in",
+                "tests/test_ilqr.py) run over the same cells",
+                "(results/ilqr_modern, scripts/ilqr_modern_cells.py):",
+                "",
+                "| Env | T | ref median | compat median | modern median | verdict |",
+                "|---|---|---|---|---|---|",
+                *modern_rows,
+            ]
     # --- K-cell adjudication (reference *_K_table.tex, sampling solvers) ---
     k_lines = [
         "",

@@ -292,3 +292,105 @@ def test_mppi_kernel_episode_swingup_progress():
     # it pumps the pendulum substantially but can't fully stabilize in 40
     # steps — require clear cost reduction, not a completed swing-up
     assert c[:, -10:].mean() < 0.75 * c[:, :10].mean()
+
+
+# --- single-kernel CEM step (ops/fused_cem.py) ------------------------------
+
+
+def _expected_cem_refinement(model, plan_tm, x0_tm, g_z, seed, K, n_elite,
+                             max_iter, alpha, std0, lanes):
+    """Closed-form CEM refinement using the kernel's interpret-mode noise
+    stream (pure-function ``interp_normals``; pid=0 single tile)."""
+    from benchmarking_mpc_solvers_tpu.ops.fused_mppi import interp_normals
+
+    T, B = plan_tm.shape
+    S = x0_tm.shape[0]
+    W = jnp.asarray(model.state_cost.W)
+    lo, hi = float(model.bounds_low[0]), float(model.bounds_high[0])
+    Bp = 8 * lanes
+    assert B <= Bp
+    x0p = jnp.zeros((S, Bp)).at[:, :B].set(x0_tm).reshape(S, 8, lanes)
+    mean = jnp.zeros((T, Bp)).at[:, :B].set(plan_tm).reshape(T, 8, lanes)
+    std = jnp.full((T, 8, lanes), std0)
+
+    for it in range(max_iter):
+        deltas = jnp.stack([
+            jnp.stack([
+                interp_normals(seed + it * 15485863 + k * 7919, t, lanes)
+                for t in range(T)
+            ])
+            for k in range(K)
+        ])  # (K, T, 8, lanes)
+        samples = jnp.clip(mean[None] + std[None] * deltas, lo, hi)
+
+        def rollout_cost(k):
+            x, acc = x0p, jnp.zeros((8, lanes))
+            for t in range(T):
+                u = samples[k, t][None]
+                z = model.transform(x, u)
+                zd = z - g_z[t][:, None, None]
+                acc = acc + jnp.clip(
+                    jnp.einsum("isl,ij,jsl->sl", zd, W, zd), -1e30, 1e30
+                )
+                x = model.dynamics(x, u)
+            return acc
+
+        costs = jnp.stack([rollout_cost(k) for k in range(K)])  # (K, 8, L)
+        order = jnp.argsort(costs, axis=0)
+        elite_mask = jnp.zeros_like(costs).at[
+            order[:n_elite],
+            jnp.arange(8)[None, :, None],
+            jnp.arange(lanes)[None, None, :],
+        ].set(1.0 / n_elite)
+        e_mean = jnp.einsum("ksl,ktsl->tsl", elite_mask, samples)
+        e_sq = jnp.einsum("ksl,ktsl->tsl", elite_mask, samples**2)
+        e_std = jnp.sqrt(jnp.maximum(e_sq - e_mean**2, 0.0))
+        mean = alpha * mean + (1 - alpha) * e_mean
+        std = alpha * std + (1 - alpha) * e_std
+    return mean.reshape(T, Bp)[:, :B]
+
+
+@pytest.mark.parametrize("model", [PendulumModel, CartPoleSwingUpModel],
+                         ids=lambda m: m.name)
+def test_fused_cem_step_matches_closed_form(model):
+    from benchmarking_mpc_solvers_tpu.ops.fused_cem import fused_cem_step
+
+    T, K, B, lanes = 5, 6, 16, 128
+    n_elite, max_iter, alpha, std0, seed = 2, 2, 0.2, 0.9, 11
+    rng = np.random.default_rng(2)
+    g_z = jnp.float32(rng.uniform(-0.2, 0.2, (T, model.goal_size)))
+    x0_tm = jnp.float32(rng.uniform(-1, 1, (model.state_size, B)))
+    plan_tm = jnp.float32(rng.uniform(-0.5, 0.5, (T, B)))
+
+    got = fused_cem_step(model, K, n_elite, max_iter, alpha, std0, lanes,
+                         plan_tm, x0_tm, g_z, seed)
+    want = _expected_cem_refinement(model, plan_tm, x0_tm, g_z, seed, K,
+                                    n_elite, max_iter, alpha, std0, lanes)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_cem_kernel_episode_swingup_progress():
+    """CEM kernel tier end-to-end: a short pendulum episode via the
+    single-kernel path must make swing-up progress (cost decreasing) and
+    stay inside the actuation box."""
+    from benchmarking_mpc_solvers_tpu.envs import PendulumEnv
+    from benchmarking_mpc_solvers_tpu.experiment.episode import (
+        EpisodeConfig,
+        run_episodes_fused,
+    )
+    from benchmarking_mpc_solvers_tpu.solvers import CEM
+
+    env = PendulumEnv
+    solver = CEM(model=env.model, T=10, K=16, n_elite=4, max_iter=3)
+    assert solver.kernel_ok()
+    B = 8
+    keys = jax.random.split(jax.random.PRNGKey(0), B)
+    x0s = jnp.tile(env.start_state, (B, 1))
+    cfg = EpisodeConfig(n_steps=40, warmstart=10, record_plans=False)
+    res = run_episodes_fused(env, solver, cfg, keys, x0s, use_kernel=True)
+    costs = np.asarray(res.costs)
+    assert np.isfinite(costs).all()
+    assert np.abs(np.asarray(res.actions)).max() <= 2.0 + 1e-5
+    # energy pumping lowers the late-episode cost well below the start
+    assert costs[:, -10:].mean() < 0.8 * costs[:, :10].mean()
