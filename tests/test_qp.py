@@ -468,3 +468,50 @@ def test_sqp_iteration_count_cost_parity():
         )(keys)
         medians[mi] = float(np.median(np.asarray(res.costs.sum(axis=-1))))
     assert abs(medians[4] - medians[6]) <= 0.01 * abs(medians[6]), medians
+
+
+def test_qpmpc_ltv_plan_mode_matches_goal_on_linear_model():
+    """On a linear model every linearization point gives the same affine
+    dynamics, so linearize_at='plan' (the LTV real-time-iteration mode)
+    must produce the same plan as the classic goal-linearized solve, and
+    its rollout-cost acceptance must take the full QP step."""
+    A = np.array([[1.0, 0.1], [0.0, 1.0]], np.float32)
+    B = np.array([[0.0], [0.1]], np.float32)
+    Q = np.diag([1.0, 0.1]).astype(np.float32)
+    R = np.array([[0.1]], np.float32)
+    model = make_linear_model(A, B, Q, R, Q, bounds=1e6)
+    T = 12
+    x0 = jnp.array([0.8, -0.3], jnp.float32)
+    g_z = jnp.zeros((T, 3), jnp.float32)
+    plans = {}
+    for mode in ("goal", "plan"):
+        solver = QPMPC(model=model, T=T, iters=120, linearize_at=mode)
+        st, _, _ = jax.jit(solver.solve)(
+            solver.init_state(jax.random.PRNGKey(0)), x0, g_z
+        )
+        plans[mode] = np.asarray(st.planned_us)
+    np.testing.assert_allclose(plans["plan"], plans["goal"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_qpmpc_ltv_beats_goal_linearization_on_swingup():
+    """On cartpole swing-up the goal linearization cannot plan (its rows
+    document the limit of linear MPC); the LTV mode must do strictly
+    better in open-loop plan cost after a few receding-horizon updates."""
+    from benchmarking_mpc_solvers_tpu.models import CartPoleSwingUpModel
+    from benchmarking_mpc_solvers_tpu.ops import simulate_trajectory
+
+    model = CartPoleSwingUpModel
+    T = 25
+    x0 = jnp.array([0.0, 0.0, np.pi, 0.0], jnp.float32)
+    g_z = jnp.zeros((T, model.goal_size), jnp.float32)
+    costs = {}
+    for mode, kw in (("goal", {}), ("plan", {"init_std": 1.0})):
+        solver = QPMPC(model=model, T=T, iters=50, linearize_at=mode, **kw)
+        st = solver.init_state(jax.random.PRNGKey(0))
+        for _ in range(6):
+            st, _, _ = jax.jit(solver.solve)(st, x0, g_z)
+        us = jnp.clip(st.planned_us, model.lo, model.hi)
+        _, c = simulate_trajectory(model, x0, us, g_z)
+        costs[mode] = float(c)
+    assert costs["plan"] < 0.8 * costs["goal"], costs
