@@ -47,7 +47,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.base import Model
-from .fused_mppi import SUBLANES, _round_up, _std_normal, interp_normals
+from .fused_mppi import (
+    SUBLANES,
+    _round_up,
+    _std_normal,
+    _std_normal_pair,
+    interp_normals,
+)
 
 
 @functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
@@ -121,16 +127,24 @@ def fused_cem_step(
             if not interpret:
                 pltpu.prng_seed(stream_seed(it, k))
 
-        def noise(it, k, t):
+        def noise_pair(it, k, t):
+            # TPU: one Box-Muller draw yields the normals for timesteps t
+            # and t+1 (cos and sin halves, _std_normal_pair — halves the
+            # dominant trig/log cost). Interpret: stateless per-t stream.
+            if interpret:
+                s = stream_seed(it, k)
+                return interp_normals(s, t, lanes), interp_normals(s, t + 1, lanes)
+            return _std_normal_pair(lanes)
+
+        def noise_last(it, k, t):
             if interpret:
                 return interp_normals(stream_seed(it, k), t, lanes)
             return _std_normal(lanes)
 
-        def sample_u(it, k, t):
+        def sample_from(d, t):
             # (1, 8, TL) clipped sample — the clip happens on the SAMPLE
             # (agents/cem.py:58: samples are clipped before scoring and
             # before the elite statistics), not only inside the dynamics
-            d = noise(it, k, t)
             return jnp.clip(
                 mean_vmem[pl.ds(t, 1)] + std_vmem[pl.ds(t, 1)] * d[None],
                 lo, hi,
@@ -141,9 +155,9 @@ def fused_cem_step(
             def score_k(k, _):
                 seed_for(it, k)
 
-                def body(t, carry):
+                def step(t, d, carry):
                     x, acc = carry
-                    u = sample_u(it, k, t)
+                    u = sample_from(d, t)
                     if cache_samples:
                         samp_vmem[k, pl.ds(t, 1)] = u
                     z = model.transform(x, u)
@@ -156,10 +170,19 @@ def fused_cem_step(
                     x_new = model.dynamics(x, u)
                     return x_new, acc + c
 
-                _, total = lax.fori_loop(
-                    0, T, body, (x0, jnp.zeros((SUBLANES, lanes), jnp.float32))
+                def body(i, carry):
+                    t = 2 * i
+                    d0, d1 = noise_pair(it, k, t)
+                    carry = step(t, d0, carry)
+                    return step(t + 1, d1, carry)
+
+                carry = lax.fori_loop(
+                    0, T // 2, body,
+                    (x0, jnp.zeros((SUBLANES, lanes), jnp.float32)),
                 )
-                cost_vmem[pl.ds(k, 1)] = total[None]
+                if T % 2:
+                    carry = step(T - 1, noise_last(it, k, T - 1), carry)
+                cost_vmem[pl.ds(k, 1)] = carry[1][None]
                 return 0
 
             lax.fori_loop(0, K, score_k, 0)
@@ -190,14 +213,27 @@ def fused_cem_step(
                     seed_for(it, k)
                 w = sel_vmem[pl.ds(k, 1)][0] / wsum  # (8, TL)
 
-                def body(t, _):
-                    u = (samp_vmem[k, pl.ds(t, 1)] if cache_samples
-                         else sample_u(it, k, t))
+                def add(t, u):
                     m1_vmem[pl.ds(t, 1)] += w[None] * u
                     m2_vmem[pl.ds(t, 1)] += w[None] * (u * u)
-                    return 0
 
-                lax.fori_loop(0, T, body, 0)
+                if cache_samples:
+                    def body(t, _):
+                        add(t, samp_vmem[k, pl.ds(t, 1)])
+                        return 0
+
+                    lax.fori_loop(0, T, body, 0)
+                else:
+                    def body(i, _):
+                        t = 2 * i
+                        d0, d1 = noise_pair(it, k, t)
+                        add(t, sample_from(d0, t))
+                        add(t + 1, sample_from(d1, t + 1))
+                        return 0
+
+                    lax.fori_loop(0, T // 2, body, 0)
+                    if T % 2:
+                        add(T - 1, sample_from(noise_last(it, k, T - 1), T - 1))
                 return 0
 
             lax.fori_loop(0, K, acc_k, 0)

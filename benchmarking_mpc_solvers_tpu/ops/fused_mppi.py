@@ -80,6 +80,21 @@ def _std_normal(lanes: int):
     return _box_muller(_u01((2 * SUBLANES, lanes)))
 
 
+def _std_normal_pair(lanes: int):
+    """Two independent (8, lanes) standard-normal tiles from ONE
+    Box-Muller draw: the transform's cosine AND sine halves (exactly
+    jointly Gaussian). sin/cos are the chip's most expensive VPU ops by
+    far (ROOFLINE.md: ~31 G evals/s vs 2.2 T FMA evals/s), and the
+    kernels' noise generation is their single largest cost — pairing
+    halves the log/sqrt/trig work per normal."""
+    u = _u01((2 * SUBLANES, lanes))
+    u1 = u[:SUBLANES] + 1e-7
+    u2 = u[SUBLANES:]
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = 2.0 * jnp.float32(np.pi) * u2
+    return r * jnp.cos(ang), r * jnp.sin(ang)
+
+
 def interp_normals(seed_c, t, lanes: int):
     """Interpret-mode noise: counter-based (murmur3-finalizer) normals as a
     pure function of (combined seed, timestep, element index).
@@ -156,10 +171,18 @@ def fused_mppi_step(
             if not interpret:
                 pltpu.prng_seed(seed_ref[0] + k * 7919 + pid * 104729)
 
-        def noise(k, t):
-            # TPU: stateful on-core PRNG, seeded by seed_for(k), one draw
-            # per timestep. Interpret: the stateless counter-based
-            # equivalent (reproducible outside the kernel for tests).
+        def noise_pair(k, t):
+            # TPU: stateful on-core PRNG, seeded by seed_for(k); one
+            # Box-Muller draw yields the normals for timesteps t and t+1
+            # (cos and sin halves — see _std_normal_pair). Interpret: the
+            # stateless counter-based equivalent, still one value per
+            # timestep (reproducible outside the kernel for tests).
+            if interpret:
+                s = seed_ref[0] + k * 7919 + pid * 104729
+                return interp_normals(s, t, lanes), interp_normals(s, t + 1, lanes)
+            return _std_normal_pair(lanes)
+
+        def noise_last(k, t):
             if interpret:
                 return interp_normals(
                     seed_ref[0] + k * 7919 + pid * 104729, t, lanes
@@ -169,9 +192,8 @@ def fused_mppi_step(
         def rollout_cost(k, _):
             seed_for(k)
 
-            def body(t, carry):
+            def step(t, d, carry):
                 x, acc = carry
-                d = noise(k, t)  # (8, TL) δ_t / std
                 u = plan_ref[pl.ds(t, 1)] + std * d  # (1, 8, TL)
                 z = model.transform(x, u)
                 c = jnp.zeros((SUBLANES, lanes), jnp.float32)
@@ -186,10 +208,18 @@ def fused_mppi_step(
                 x_new = model.dynamics(x, u)
                 return x_new, acc + c
 
-            _, total = lax.fori_loop(
-                0, T, body, (x0, jnp.zeros((SUBLANES, lanes), jnp.float32))
+            def body(i, carry):
+                t = 2 * i
+                d0, d1 = noise_pair(k, t)
+                carry = step(t, d0, carry)
+                return step(t + 1, d1, carry)
+
+            carry = lax.fori_loop(
+                0, T // 2, body, (x0, jnp.zeros((SUBLANES, lanes), jnp.float32))
             )
-            cost_vmem[pl.ds(k, 1)] = total[None]
+            if T % 2:
+                carry = step(T - 1, noise_last(k, T - 1), carry)
+            cost_vmem[pl.ds(k, 1)] = carry[1][None]
             return 0
 
         lax.fori_loop(0, K, rollout_cost, 0)
@@ -212,12 +242,19 @@ def fused_mppi_step(
             seed_for(k)
             w_k = cost_vmem[pl.ds(k, 1)][0]  # (8, TL)
 
-            def body(t, _):
-                d = noise(k, t)
+            def add(t, d):
                 out_ref[pl.ds(t, 1)] += (w_k * (std * d))[None]
+
+            def body(i, _):
+                t = 2 * i
+                d0, d1 = noise_pair(k, t)
+                add(t, d0)
+                add(t + 1, d1)
                 return 0
 
-            lax.fori_loop(0, T, body, 0)
+            lax.fori_loop(0, T // 2, body, 0)
+            if T % 2:
+                add(T - 1, noise_last(k, T - 1))
             return 0
 
         lax.fori_loop(0, K, accumulate, 0)

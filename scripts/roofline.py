@@ -113,13 +113,18 @@ def measure_pallas_op(op, name, inner_long=2048, inner_short=256,
     return rec
 
 
-def measure_pallas_noise(inner_long=256, inner_short=32):
-    """Rate of the MPPI kernel's own noise generator: on-core PRNG draw +
-    Box-Muller, exactly ops/fused_mppi._std_normal. Returns normals/s."""
+def measure_pallas_noise(inner_long=256, inner_short=32, paired=False):
+    """Rate of the kernels' own noise generator: on-core PRNG draw +
+    Box-Muller (ops/fused_mppi._std_normal), or the paired variant that
+    keeps both the cos and sin halves (_std_normal_pair — what the
+    production kernels consume). Returns normals/s."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    from benchmarking_mpc_solvers_tpu.ops.fused_mppi import _std_normal
+    from benchmarking_mpc_solvers_tpu.ops.fused_mppi import (
+        _std_normal,
+        _std_normal_pair,
+    )
 
     lanes = 512
     shape = (8, lanes)
@@ -128,8 +133,13 @@ def measure_pallas_noise(inner_long=256, inner_short=32):
         def kernel(seed_ref, o_ref):
             pltpu.prng_seed(seed_ref[0])
 
-            def body(i, acc):
-                return acc + _std_normal(lanes)
+            if paired:
+                def body(i, acc):
+                    a, b = _std_normal_pair(lanes)
+                    return acc + a + b
+            else:
+                def body(i, acc):
+                    return acc + _std_normal(lanes)
 
             o_ref[:] = lax.fori_loop(
                 0, inner, body, jnp.zeros(shape, jnp.float32)
@@ -145,9 +155,11 @@ def measure_pallas_noise(inner_long=256, inner_short=32):
 
     x = jnp.asarray([7], jnp.int32)
     dt = timed(make(inner_long), x) - timed(make(inner_short), x)
-    evals = 8 * lanes * 1024 * (inner_long - inner_short)
-    rec = {"what": "pallas_box_muller_normals", "normals_per_s": evals / dt,
-           "paired_dt_s": dt}
+    per_iter = 2 if paired else 1
+    evals = 8 * lanes * 1024 * per_iter * (inner_long - inner_short)
+    rec = {"what": "pallas_box_muller_normals"
+                   + ("_paired" if paired else ""),
+           "normals_per_s": evals / dt, "paired_dt_s": dt}
     print(json.dumps(rec), flush=True)
     return rec
 
@@ -192,6 +204,7 @@ def main():
         out["pallas_log"] = measure_pallas_op(
             lambda x: jnp.log(jnp.abs(x) + 1.0), "log(abs+add+log)")
         out["pallas_noise"] = measure_pallas_noise()
+        out["pallas_noise_paired"] = measure_pallas_noise(paired=True)
     out["hbm"] = measure_hbm()
     path = pathlib.Path(__file__).resolve().parents[1] / "ROOFLINE_MEASURED.json"
     path.write_text(json.dumps(out, indent=1))
