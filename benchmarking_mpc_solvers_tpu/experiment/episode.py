@@ -128,7 +128,7 @@ def run_episodes_fused(env: Env, solver, cfg: EpisodeConfig, keys, x0s,
     the single-kernel time-major step (``solve_batch_tm`` + ``kernel_ok``,
     MPPI on TPU), the *entire* MPPI update — RNG, rollouts, softmax, plan
     update — runs as one kernel per MPC step with no (B·K)-sized HBM
-    arrays (``ops/fused_mppi.py``; ~2.3x the two-stage path). Semantics
+    arrays (``ops/fused_mppi.py``; ~3.4x the two-stage path). Semantics
     match ``run_episode`` with resampled perturbations.
 
     With ``cfg.record_plans`` the reference-schema planning histories

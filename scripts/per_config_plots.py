@@ -259,13 +259,159 @@ def main():
     Ks_mppi = [8, 16] if args.quick else [10, 20, 50, 100, 200, 500]
     Ks_cem = [8] if args.quick else [10, 20, 50, 100, 200]
     ratios = [0.25, 0.5] if args.quick else [0.1, 0.25, 0.5, 0.75, 1.0]
+    temp_store = ResultStore(args.results_dir, "temperature_exp")
+    ilqr_store = ResultStore(args.results_dir, "ilqr_runs2")
+    noise_store = ResultStore(args.results_dir, "noise_test")
+    lams = [0.1] if args.quick else [0.001, 0.01, 0.1, 0.5, 1.0, 10.0]
+    iters = [2] if args.quick else [5, 10, 25]
+    sigmas = [0.0, 0.5] if args.quick else [0.0, 0.1, 0.5, 1.0]
     total = 0
     for env_name in ENV_NAMES.values():
         total += mppi_figs(mppi_store, plots_dir, env_name, Ts, Ks_mppi)
         total += cem_figs(cem_store, plots_dir, env_name, Ts, Ks_cem, ratios)
+        total += param_family(
+            temp_store, plots_dir, "mppi_temperature", env_name, Ts,
+            "lam", lams, "{T}_mppi_l{v}.png", "lam", "mppi_summary")
+        total += param_family(
+            ilqr_store, plots_dir, "ilqr_iterations", env_name, Ts,
+            "max_iter", iters, "{T}_ilqr_m{v}.png", "max_iter",
+            "ilqr_summary")
+        total += noise_figs(noise_store, plots_dir, env_name,
+                            ["CEM", "MPPI", "ILQR", "I2C"], sigmas)
         print(f"{env_name}: cumulative {total} figures", flush=True)
     print(f"wrote {total} figures under {plots_dir}/mppi_samples and "
           f"{plots_dir}/cem_ratio")
+
+
+
+
+# --- the remaining reference figure families (same trajectory-figure
+# layout): mppi_temperature/<Env>/<T>_mppi_l<lam>.png,
+# ilqr_iterations/<Env>/<T>_ilqr_m<iter>.png, and
+# noise_test/<Env>/{actuation,sensor}_noise/<AGENT>_averaged_n<sig>.png
+# (reference: scripts/mppi_temperature.py / ilqr_tuning.py /
+# noise_tests.py generate_plots) -------------------------------------------
+
+
+def _tag(v):
+    return str(v).rstrip("0").rstrip(".") if isinstance(v, float) else str(v)
+
+
+def param_family(store, plots_dir, family, env_name, Ts, param_key, values,
+                 fname_fmt, label_prefix, summary_name, extra_query=None):
+    """Per-(T, param) trajectory figures + per-T combined overlays + a
+    per-env summary (cost vs param, one line per T)."""
+    envdir = plots_dir / family / env_name
+    envdir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    per_T = {}
+    for T in Ts:
+        fig_c = plt.figure(figsize=(10, 8))
+        axs_c = None
+        stats = {}
+        for v in values:
+            q = {"env_name": env_name, "agent_config.T": T,
+                 f"agent_config.{param_key}": v,
+                 "actuation_noise": False, "sensor_noise": False}
+            q.update(extra_query or {})
+            results = store.find(q)
+            if not results:
+                continue
+            states, actions, costs = _pull(results)
+            fig = plt.figure(figsize=(10, 8))
+            _traj_axes(fig, states, actions, costs,
+                       f"{label_prefix}={v}")
+            fig.suptitle(f"{env_name} T:{T} {label_prefix}:{v}")
+            fig.tight_layout()
+            fig.savefig(envdir / fname_fmt.format(T=T, v=_tag(v).replace(".", "_")),
+                        dpi=DPI)
+            plt.close(fig)
+            n += 1
+            if axs_c is None:
+                S = states[0].shape[1]
+                A = actions[0].shape[1]
+                axs_c = fig_c.subplots(nrows=S + A + 1)
+            _overlay(axs_c, states, actions, costs, f"{label_prefix}={v}")
+            tot = costs.sum(axis=1)
+            stats[v] = (np.median(tot), np.quantile(tot, 0.25),
+                        np.quantile(tot, 0.75))
+        if axs_c is not None:
+            for ax in axs_c:
+                ax.legend(loc="upper left", fontsize=6)
+            fig_c.suptitle(f"{env_name} T:{T}")
+            fig_c.tight_layout()
+            fig_c.savefig(envdir / f"combined{T}.png", dpi=DPI)
+            n += 1
+        plt.close(fig_c)
+        if stats:
+            per_T[T] = stats
+    if per_T:
+        fig = plt.figure(figsize=(8, 6))
+        ax = fig.add_subplot()
+        vals_all = sorted({v for d in per_T.values() for v in d})
+        series = {}
+        for T, d in per_T.items():
+            xs = [v for v in vals_all if v in d]
+            series[f"T={T}"] = tuple([d[v][j] for v in xs] for j in range(3))
+        _summary(ax, vals_all, series, label_prefix)
+        ax.set_xscale("log" if all(
+            isinstance(v, float) and v > 0 for v in vals_all) else "linear")
+        fig.suptitle(f"{family} summary {env_name}")
+        fig.savefig(plots_dir / family / f"{env_name}_{summary_name}.png",
+                    dpi=DPI)
+        plt.close(fig)
+        n += 1
+    return n
+
+
+def noise_figs(store, plots_dir, env_name, agents, sigmas):
+    """noise_test/<Env>/{actuation,sensor}_noise/<AGENT>_averaged_n<sig>.png
+    + per-agent summary (cost vs sigma for both modes)."""
+    n = 0
+    for mode, flag_key, std_key in (
+        ("actuation", "actuation_noise", "actuation_noise_std"),
+        ("sensor", "sensor_noise", "sensor_noise_std"),
+    ):
+        outdir = plots_dir / "noise_test" / env_name / f"{mode}_noise"
+        outdir.mkdir(parents=True, exist_ok=True)
+        for agent in agents:
+            stats = {}
+            for sig in sigmas:
+                if sig == 0.0:
+                    q = {"env_name": env_name, "agent_name": agent,
+                         "actuation_noise": False, "sensor_noise": False}
+                else:
+                    q = {"env_name": env_name, "agent_name": agent,
+                         flag_key: True, std_key: sig}
+                results = store.find(q)
+                if not results:
+                    continue
+                states, actions, costs = _pull(results)
+                if sig > 0.0:
+                    fig = plt.figure(figsize=(10, 8))
+                    _traj_axes(fig, states, actions, costs, f"σ={sig}")
+                    fig.suptitle(f"{agent} {env_name} {mode} noise σ={sig}")
+                    fig.tight_layout()
+                    fig.savefig(
+                        outdir / f"{agent}_averaged_n{_tag(sig).replace('.', '_')}.png",
+                        dpi=DPI)
+                    plt.close(fig)
+                    n += 1
+                tot = costs.sum(axis=1)
+                stats[sig] = (np.median(tot), np.quantile(tot, 0.25),
+                              np.quantile(tot, 0.75))
+            if stats:
+                fig = plt.figure(figsize=(8, 6))
+                ax = fig.add_subplot()
+                xs = sorted(stats)
+                series = {agent: tuple([stats[s][j] for s in xs]
+                                       for j in range(3))}
+                _summary(ax, xs, series, f"{mode} noise σ")
+                fig.suptitle(f"{agent} {env_name} {mode}-noise summary")
+                fig.savefig(outdir / f"{agent}_summary.png", dpi=DPI)
+                plt.close(fig)
+                n += 1
+    return n
 
 
 if __name__ == "__main__":
