@@ -68,3 +68,32 @@ def sharded_episodes(env, solver, cfg, mesh: Mesh, axis: str = BATCH_AXIS):
         return jax.vmap(lambda k, x0: run_episode(env, solver, cfg, k, x0))(keys, x0s)
 
     return jax.jit(batch_fn, out_shardings=spec)
+
+
+def sharded_episodes_kernel(env, solver, cfg, mesh: Mesh, axis: str = BATCH_AXIS):
+    """Single-kernel episode tier sharded over the mesh with ``shard_map``:
+    each device runs its scenario tile through the solver's Pallas kernel
+    (``ops/fused_mppi.py`` / ``ops/fused_cem.py``), so the headline
+    solves/s path scales across chips the same embarrassingly-parallel way
+    as ``sharded_episodes`` — per-scenario programs are independent and no
+    collectives are inserted. Each shard draws its own kernel seeds from
+    its local keys, so shards have distinct noise streams.
+
+    Requires a solver with the kernel tier (``kernel_ok``/``solve_batch_tm``)
+    and a per-device batch that is a multiple of the kernel tile (the
+    kernel pads otherwise).
+    """
+    from ..experiment.episode import run_episodes_fused
+
+    spec = P(axis)
+
+    def local_fn(keys, x0s):
+        return run_episodes_fused(env, solver, cfg, keys, x0s, use_kernel=True)
+
+    return jax.jit(
+        # check_vma=False: the varying-mesh-axes checker cannot infer vma
+        # for pallas_call outputs; per-shard independence holds by
+        # construction (no collectives in the episode body)
+        jax.shard_map(local_fn, mesh=mesh, in_specs=(spec, spec),
+                      out_specs=spec, check_vma=False)
+    )
