@@ -94,10 +94,12 @@ class Experiment:
         self.repetitions = int(params.get("repetitions", 1))
         self.timed_per_step = bool(params.get("timed_per_step", False))
         # fused=True runs the repetition batch through run_episodes_fused
-        # (solve_batch fast path) instead of vmapped run_episode; since the
-        # fused path records plans and warm starts too, the results dict is
-        # schema-identical (and for MPPI/CEM seed-replay-identical,
-        # tests/test_equivalence.py)
+        # instead of vmapped run_episode; the fused path records plans and
+        # warm starts too, so the results dict is schema-identical. On TPU
+        # MPPI/CEM dispatch to their single-kernel tier, which has its own
+        # RNG stream by design; the two-stage fused path (use_kernel=False)
+        # is seed-replay-identical to the vmapped path
+        # (tests/test_equivalence.py). The study sweeps use fused=False.
         self.fused = bool(params.get("fused", False))
         self.params = params
         self.experiment_results: Optional[Dict[str, Any]] = None

@@ -194,8 +194,15 @@ def fused_cem_step(
             costs = jnp.where(jnp.isfinite(costs), costs, jnp.float32(1e30))
             sel_vmem[:] = jnp.zeros((K, SUBLANES, lanes), jnp.float32)
 
+            # exclusion offset must exceed the largest possible cost GAP:
+            # per-step costs saturate at +-1e30 (quad_cost) and sum over T,
+            # so finite totals reach T*1e30 — a fixed 1e30-scale offset
+            # would let an already-picked low-cost candidate win again and
+            # under-select elites on saturated-cost lanes
+            excl = jnp.float32(4.0 * T * 1e30)
+
             def pick(j, _):
-                cur = costs + sel_vmem[:] * jnp.float32(2e30)
+                cur = costs + sel_vmem[:] * excl
                 mn = jnp.min(cur, axis=0)
                 is_new = (cur == mn[None]) & (sel_vmem[:] < 0.5)
                 sel_vmem[:] = jnp.where(is_new, 1.0, sel_vmem[:])

@@ -125,3 +125,20 @@ def simulate_trajectory(model: Model, x0, us, g_z):
     (``agents/agent.py:97-108``: returns states and −Σreward)."""
     xs, costs = rollout(model, x0, us, g_z)
     return xs, jnp.sum(costs)
+
+
+def best_plan_by_rollout_cost(model: Model, x, g_z, candidates):
+    """Pick the candidate plan with the lowest true rollout cost.
+
+    ``candidates``: (C, T, A) stack of plans; non-finite costs lose. The
+    shared merit-selection step of the solvers' line searches (I2C's
+    backtracked smoothing acceptance, QPMPC's globalized LTV/RTI step) —
+    one implementation so the inf-guard and tie behavior stay identical."""
+
+    def plan_cost(us):
+        _, cs = rollout(model, x, us, g_z)
+        return jnp.sum(cs)
+
+    costs = jax.vmap(plan_cost)(candidates)
+    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
+    return candidates[jnp.argmin(costs)]

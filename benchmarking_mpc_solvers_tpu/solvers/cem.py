@@ -164,8 +164,12 @@ class CEM(Solver):
 
     def kernel_ok(self) -> bool:
         """The single-kernel step handles scalar actions with a quad_cost
-        stage cost (the shapes ``ops/fused_cem.py`` supports), like MPPI's."""
-        return self.model.action_size == 1 and hasattr(self.model.state_cost, "W")
+        stage cost (the shapes ``ops/fused_cem.py`` supports), like MPPI's.
+        Planning-model noise has no kernel path — those configs must take
+        the two-stage/scalar tiers."""
+        return (self.model.action_size == 1
+                and hasattr(self.model.state_cost, "W")
+                and self.model_noise_std == 0.0)
 
     def solve_batch_tm(self, planned_tm, xs_tm, g_z, seed):
         """One full CEM refinement (max_iter iterations) for B scenarios as

@@ -39,7 +39,7 @@ from jax import lax
 from ..ops.i2c_pallas import i2c_smooth_batch
 from ..ops.linearize import linearize_dynamics
 from ..ops.riccati_pallas import use_pallas_riccati
-from ..ops.rollout import rollout, rollout_noisy
+from ..ops.rollout import best_plan_by_rollout_cost, rollout, rollout_noisy
 from .base import Solver
 
 
@@ -229,11 +229,6 @@ class I2C(Solver):
 
     def solve(self, state: I2CState, x, g_z):
         model = self.model
-
-        def plan_cost(us):
-            _, cs = rollout(model, x, us, g_z)
-            return jnp.sum(cs)
-
         with jax.default_matmul_precision("highest"):
 
             def body(carry, _):
@@ -266,9 +261,7 @@ class I2C(Solver):
                         [us + g * (us_new - us) for g in self.ls_steps],
                         axis=0,
                     )
-                    costs = jax.vmap(plan_cost)(cands)
-                    costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-                    us_new = cands[jnp.argmin(costs)]
+                    us_new = best_plan_by_rollout_cost(model, x, g_z, cands)
                 alpha = jnp.minimum(alpha * self.anneal, self.alpha_max)
                 return (us_new, alpha, key), None
 

@@ -177,8 +177,12 @@ class MPPI(Solver):
 
     def kernel_ok(self) -> bool:
         """True when the single-kernel MPPI step applies: scalar action and
-        a quad_cost stage cost (the shapes ``ops/fused_mppi.py`` handles)."""
-        return self.model.action_size == 1 and hasattr(self.model.state_cost, "W")
+        a quad_cost stage cost (the shapes ``ops/fused_mppi.py`` handles).
+        Planning-model noise has no kernel path — those configs must take
+        the two-stage/scalar tiers."""
+        return (self.model.action_size == 1
+                and hasattr(self.model.state_cost, "W")
+                and self.model_noise_std == 0.0)
 
     def solve_batch_tm(self, planned_tm, xs_tm, g_z, seed):
         """One MPPI step for B scenarios as a single Pallas kernel launch —

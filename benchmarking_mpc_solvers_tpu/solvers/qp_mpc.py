@@ -173,20 +173,13 @@ class QPMPC(Solver):
                 # true cost far from the trajectory it linearized; accept
                 # full step / half step / keep by true rollout cost
                 # (cf. i2c.py line_search, sqp.py merit line search)
-                from ..ops.rollout import rollout
+                from ..ops.rollout import best_plan_by_rollout_cost
 
                 old = jnp.clip(state.planned_us, model.lo, model.hi)
                 cands = jnp.stack(
                     [planned, 0.5 * (planned + old), old], axis=0
                 )
-
-                def plan_cost(us):
-                    _, cs = rollout(model, x, us, g_z)
-                    return jnp.sum(cs)
-
-                costs = jax.vmap(plan_cost)(cands)
-                costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
-                planned = cands[jnp.argmin(costs)]
+                planned = best_plan_by_rollout_cost(model, x, g_z, cands)
         return QPMPCState(planned, key), planned[0], {}
 
     # -- batched path (fused episode runner, experiment/episode.py) ----------

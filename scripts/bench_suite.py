@@ -279,11 +279,26 @@ def main():
         from benchmarking_mpc_solvers_tpu.experiment.episode import (
             run_episodes_fused,
         )
+        from benchmarking_mpc_solvers_tpu.parallel import (
+            sharded_episodes_kernel,
+        )
+        from benchmarking_mpc_solvers_tpu.solvers.base import (
+            Solver as _SolverBase,
+        )
 
         has_kernel = bool(getattr(solver, "kernel_ok", None)) and solver.kernel_ok()
-        has_batch = getattr(solver, "solve_batch", None) is not None
+        # a DEDICATED batched path, not the Solver base class's generic
+        # vmap-over-solve fallback (every solver has that)
+        has_batch = type(solver).solve_batch is not _SolverBase.solve_batch
         paths[name] = ("single_kernel" if has_kernel
                        else "solve_batch" if has_batch else "vmapped_scalar")
+
+        if has_kernel:
+            # pallas_call has no GSPMD partitioning rule: on a multi-device
+            # mesh the kernel tier must go through shard_map
+            # (parallel.sharded_episodes_kernel), each device driving its
+            # own scenario tile
+            kfn = sharded_episodes_kernel(env, solver, cfg, mesh)
 
         def scalar(k, solver=solver, cfg=cfg, has_batch=has_batch,
                    has_kernel=has_kernel):
@@ -291,9 +306,11 @@ def main():
             x0 = jax.lax.with_sharding_constraint(
                 x0s_base + 1e-3 * jax.random.normal(k, x0s_base.shape), spec
             )
-            if has_batch or has_kernel:
+            if has_kernel:
+                ep = kfn(ks, x0)
+            elif has_batch:
                 ep = run_episodes_fused(env, solver, cfg, ks, x0,
-                                        use_kernel=has_kernel)
+                                        use_kernel=False)
             else:
                 ep = jax.vmap(
                     lambda kk, xx: run_episode(env, solver, cfg, kk, xx)

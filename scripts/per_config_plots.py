@@ -156,9 +156,11 @@ def mppi_figs(store, plots_dir, env_name, Ts, Ks):
         Ks_all = sorted({k for d in per_T.values() for k in d})
         series = {}
         for T, d in per_T.items():
-            xs = [k for k in Ks_all if k in d]
+            # NaN-pad to the union x-axis: a T missing one cell must not
+            # crash the whole figure run with a length mismatch
             series[f"T={T}"] = tuple(
-                [d[k][j] for k in xs] for j in range(3)
+                [d[k][j] if k in d else np.nan for k in Ks_all]
+                for j in range(3)
             )
         _summary(ax, Ks_all, series, "Sample Amount - K")
         fig.suptitle(f"MPPI Samples Summary {env_name}")
@@ -351,8 +353,11 @@ def param_family(store, plots_dir, family, env_name, Ts, param_key, values,
         vals_all = sorted({v for d in per_T.values() for v in d})
         series = {}
         for T, d in per_T.items():
-            xs = [v for v in vals_all if v in d]
-            series[f"T={T}"] = tuple([d[v][j] for v in xs] for j in range(3))
+            # NaN-pad to the union x-axis (see mppi_figs)
+            series[f"T={T}"] = tuple(
+                [d[v][j] if v in d else np.nan for v in vals_all]
+                for j in range(3)
+            )
         _summary(ax, vals_all, series, label_prefix)
         ax.set_xscale("log" if all(
             isinstance(v, float) and v > 0 for v in vals_all) else "linear")

@@ -275,11 +275,20 @@ def main():
         "| Env | K | Solver | ref median | ours median | ours/ref | runs | verdict |",
         "|---|---|---|---|---|---|---|---|",
     ]
+    # K-cells pool exactly the collections the committed K-tables aggregate
+    # (scripts/table_generation.py COLLECTIONS — which, like the
+    # reference's, exclude the noise sweep): pooling STORES here would let
+    # noise_test's noiseless CEM baselines (K=50 at an off-grid
+    # n_elite/T config) contaminate the K=50 cells and contradict the
+    # methodology text above
+    k_stores = [ResultStore(args.results_dir, c)
+                for c in ("cem_ratios", "mppi_samples", "temperature_exp",
+                          "experiment_test")]
     k_beat = k_match = k_miss = 0
     k_misses = []
     for (env_name, K), ref_row in sorted(REF_K_MEDIANS.items()):
         for solver, ref_med in sorted(ref_row.items()):
-            agg, n = our_stats(stores, env_name, solver, K,
+            agg, n = our_stats(k_stores, env_name, solver, K,
                                cfg_key="agent_config.K")
             if agg is None:
                 k_lines.append(
