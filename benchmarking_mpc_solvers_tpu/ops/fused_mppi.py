@@ -160,7 +160,17 @@ def fused_mppi_step(
 
     interpret = jax.default_backend() != "tpu"
 
-    def kernel(seed_ref, gz_ref, x0_ref, plan_ref, out_ref, cost_vmem):
+    # cache pass 1's noise in VMEM when it fits (K·T·8·lanes f32, plus the
+    # cost planes, against a raised scoped-vmem limit — cf. fused_cem.py's
+    # sample cache): pass 2 then reads the identical deltas back instead of
+    # paying the Box-Muller regeneration again. Pure optimization — the
+    # noise stream is bit-identical either way.
+    noise_bytes = K * T * SUBLANES * lanes * 4
+    cache_noise = noise_bytes + K * SUBLANES * lanes * 4 <= 90 * 1024 * 1024
+
+    def kernel(seed_ref, gz_ref, x0_ref, plan_ref, out_ref, cost_vmem,
+               *maybe_noise):
+        noise_vmem = maybe_noise[0] if cache_noise else None
         pid = pl.program_id(0)
         x0 = x0_ref[:]  # (S, 8, TL)
 
@@ -194,6 +204,8 @@ def fused_mppi_step(
 
             def step(t, d, carry):
                 x, acc = carry
+                if cache_noise:
+                    noise_vmem[k, pl.ds(t, 1)] = d[None]
                 u = plan_ref[pl.ds(t, 1)] + std * d  # (1, 8, TL)
                 z = model.transform(x, u)
                 c = jnp.zeros((SUBLANES, lanes), jnp.float32)
@@ -239,8 +251,18 @@ def fused_mppi_step(
         out_ref[:] = plan_ref[:]
 
         def accumulate(k, _):
-            seed_for(k)
             w_k = cost_vmem[pl.ds(k, 1)][0]  # (8, TL)
+
+            if cache_noise:
+                def body(t, _):
+                    d = noise_vmem[k, pl.ds(t, 1)][0]
+                    out_ref[pl.ds(t, 1)] += (w_k * (std * d))[None]
+                    return 0
+
+                lax.fori_loop(0, T, body, 0)
+                return 0
+
+            seed_for(k)
 
             def add(t, d):
                 out_ref[pl.ds(t, 1)] += (w_k * (std * d))[None]
@@ -270,7 +292,12 @@ def fused_mppi_step(
         ],
         out_specs=pl.BlockSpec((T, SUBLANES, lanes), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, SUBLANES, Bp // SUBLANES), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((K, SUBLANES, lanes), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((K, SUBLANES, lanes), jnp.float32)]
+        + ([pltpu.VMEM((K, T, SUBLANES, lanes), jnp.float32)]
+           if cache_noise else []),  # pass-1 noise cache
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=jax.default_backend() != "tpu",
     )(jnp.asarray([seed], jnp.int32), gz, x0_p, planned_p)
     return out.reshape(T, Bp)[:, :B]
